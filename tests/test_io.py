@@ -1,0 +1,123 @@
+import numpy as np
+import pytest
+
+from svscope_tpu.io import bgzf
+from svscope_tpu.io.fasta import FastaFile, write_fasta
+from svscope_tpu.io.bam import (AlignmentTable, BamReader, BamRecord,
+                                BamWriter, parse_cigar_string, cigar_string)
+from svscope_tpu.utils import seq as sq
+from svscope_tpu.utils import intervals as iv
+
+
+def test_bgzf_roundtrip():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    comp = bgzf.compress(data)
+    assert bgzf.decompress(comp) == data
+
+
+def test_fasta_fetch(tmp_path):
+    path = str(tmp_path / "ref.fa")
+    seqs = {"chr1": "ACGT" * 500, "chr2": "TTGGCCAA" * 100}
+    write_fasta(path, seqs, width=37)
+    fa = FastaFile(path)
+    assert fa.references == ["chr1", "chr2"]
+    assert fa.fetch("chr1", 0, 8) == "ACGTACGT"
+    assert fa.fetch("chr1", 37, 41) == seqs["chr1"][37:41]
+    assert fa.fetch("chr2", 700, 800) == seqs["chr2"][700:800]
+    assert fa.fetch("chr1") == seqs["chr1"]
+    assert fa.get_reference_length("chr2") == 800
+
+
+def test_seq_codec():
+    assert list(sq.encode("ATCG-")) == [0, 1, 2, 3, 4]
+    assert sq.decode(np.array([0, 4, 1, 2, 4, 3])) == "ATCG"
+    assert sq.decode(np.array([0, 4, 1]), keep_gaps=True) == "A-T"
+    assert sq.reverse_complement("AACGT") == "ACGTT"
+
+
+def test_cigar_roundtrip():
+    ops, lens = parse_cigar_string("10M2I5D100S3H")
+    assert cigar_string(ops, lens) == "10M2I5D100S3H"
+
+
+def _mk_record(name, pos, cigar, seq, flag=0, mapq=60, ref_id=0):
+    ops, lens = parse_cigar_string(cigar)
+    return BamRecord(name, flag, ref_id, pos, mapq, ops, lens, seq)
+
+
+def test_bam_roundtrip(tmp_path):
+    path = str(tmp_path / "t.bam")
+    recs = [
+        _mk_record("r1", 100, "50M", "A" * 50),
+        _mk_record("r2", 120, "10S30M10S", "C" * 50, flag=16),
+        _mk_record("r3", 400, "20M5I20M", "G" * 45, mapq=3),
+    ]
+    with BamWriter(path, ["chr1"], [10_000]) as w:
+        for r in recs:
+            w.write(r)
+    rd = BamReader(path)
+    assert rd.references == ["chr1"]
+    assert rd.lengths == [10_000]
+    assert len(rd.records) == 3
+    got = rd.fetch("chr1", 110, 130)
+    assert {r.name for r in got} == {"r1", "r2"}
+    r2 = [r for r in rd.records if r.name == "r2"][0]
+    assert r2.is_reverse and r2.strand == "-"
+    assert r2.cigarstring == "10S30M10S"
+    assert r2.reference_end == 150
+    assert r2.seq == "C" * 50
+
+
+def test_query_pos_mapping():
+    # 10 ref bases matched, 5-base insertion, 10 more matched
+    r = _mk_record("r", 1000, "10M5I10M", "ACGTACGTAC" + "TTTTT" + "GGGGGGGGGG")
+    assert r.query_pos_floor(1000) == 0
+    assert r.query_pos_floor(1009) == 9
+    assert r.query_pos_floor(1012) == 9 + 5 + 3
+    assert r.query_pos_ceil(1010) == 15
+    assert r.query_pos_ceil(1005) == 5
+    # hard-clipped supplementary: query coords exclude the clip
+    r2 = _mk_record("r", 1000, "100H10M", "ACGTACGTAC", flag=0x800)
+    assert r2.query_pos_floor(1005) == 5
+    assert r2.leading_hardclip() == 100
+
+
+def test_alignment_table(tmp_path):
+    path = str(tmp_path / "t.bam")
+    with BamWriter(path, ["chr1", "chr2"], [10_000, 10_000]) as w:
+        w.write(_mk_record("r1", 100, "50M", "A" * 50))
+        w.write(_mk_record("r1", 300, "20M30S", "A" * 50, flag=0x800, ref_id=1))
+        w.write(_mk_record("r2", 150, "40M", "T" * 40))
+    t = AlignmentTable.from_bam(path)
+    assert len(t) == 3
+    idx = t.fetch_idx("chr1", 120, 160)
+    assert sorted(t.name[i] for i in idx) == ["r1", "r2"]
+    assert len(t.read_alignments("r1")) == 2
+    assert t.spanchr_ratio(["x_tumor|r1", "x_tumor|r2"]) == 0.5
+    assert np.isnan(t.spanchr_ratio(["absent"]))
+
+
+def test_interval_merge():
+    s = np.array([10, 30, 100, 50])
+    e = np.array([20, 45, 120, 60])
+    ms, me, gid, order = iv.merge(s, e, dist=0)
+    assert list(ms) == [10, 30, 50, 100] and list(me) == [20, 45, 60, 120]
+    ms, me, gid, order = iv.merge(s, e, dist=5)
+    assert list(ms) == [10, 30, 100] and list(me) == [20, 60, 120]
+    ms, me, gid, order = iv.merge(s, e, dist=10)
+    assert list(ms) == [10, 100] and list(me) == [60, 120]
+
+
+def test_interval_overlap():
+    ai, bi, ov = iv.overlap_pairs([0, 100], [50, 200], [40, 150], [60, 400])
+    assert list(ai) == [0, 1] and list(bi) == [0, 1]
+    assert list(ov) == [10, 50]
+    mask = iv.any_overlap_mask([0, 100], [50, 200], [40], [60], frac=0.5, reciprocal=True)
+    assert list(mask) == [False, False]
+    mask = iv.any_overlap_mask([35, 100], [65, 200], [40], [60], frac=0.5, reciprocal=True)
+    assert list(mask) == [True, False]
+
+
+def test_coverage_length():
+    assert iv.coverage_length(100, 200, [50, 150], [120, 300]) == 20 + 50

@@ -1,0 +1,99 @@
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from svscope_tpu.models.mixture import (em_cluster, pairwise_identity,
+                                        ward_init_labels, zero_param_count)
+
+REF_SRC = "/root/reference/src"
+
+
+def _make_two_cluster(rng, n1=6, n2=6, nf=24, noise=0.03):
+    a = rng.integers(0, 4, (1, nf))
+    b = rng.integers(0, 4, (1, nf))
+    # ensure the two archetypes differ in most columns
+    b = np.where(a == b, (b + 1) % 4, b)
+    x = np.concatenate([np.repeat(a, n1, 0), np.repeat(b, n2, 0)])
+    flip = rng.random(x.shape) < noise
+    x = np.where(flip, rng.integers(0, 5, x.shape), x)
+    return x.astype(np.int64)
+
+
+def test_pairwise_identity():
+    x = np.array([[0, 1, 2], [0, 1, 3], [0, 1, 2]])
+    d = pairwise_identity(x)
+    assert d[0, 1] == pytest.approx(2 / 3)
+    assert d[0, 2] == pytest.approx(1.0)
+    assert d[0, 0] == 1.0
+
+
+def test_zero_param_count():
+    x = np.array([[0, 1], [0, 1]])
+    # col0: only symbol 0 -> 4 zeros; col1: only symbol 1 -> 4 zeros
+    assert zero_param_count(x) == 8
+
+
+def test_em_two_clusters():
+    rng = np.random.default_rng(11)
+    x = _make_two_cluster(rng)
+    K, _, labels, theta, gamma, pi, bics = em_cluster(x, dtype=jnp.float64)
+    assert K == 2
+    assert len(set(labels[:6])) == 1 and len(set(labels[6:])) == 1
+    assert labels[0] != labels[6]
+    assert gamma.shape == (12, 2)
+    np.testing.assert_allclose(gamma.sum(1), 1.0, atol=1e-6)
+
+
+def test_em_homogeneous_reads():
+    """Homogeneous reads: K collapses to 1 unless the K=1->2 BIC tie-break
+    fires (src/ReadsCluster.py:269-272); either way no junk K."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 4, (1, 15))
+    x = np.repeat(a, 8, 0)
+    K, _, labels, *_ = em_cluster(x, dtype=jnp.float64)
+    assert K in (1, 2)
+
+
+def test_em_three_clusters():
+    rng = np.random.default_rng(23)
+    a0 = rng.integers(0, 4, 30)
+    arch = [a0, (a0 + 1) % 4, (a0 + 2) % 4]  # pairwise distinct in every col
+    x = np.concatenate([np.repeat(a[None], 5, 0) for a in arch])
+    K, _, labels, *_ = em_cluster(x, dtype=jnp.float64)
+    assert K >= 3
+    for g in range(3):
+        seg = labels[g * 5:(g + 1) * 5]
+        assert len(set(seg)) == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SRC), reason="reference not mounted")
+def test_label_parity_vs_reference_emcluster():
+    """Cluster-label parity against the reference EMCluster on structured
+    windows (the parity contract per SURVEY.md §7.3: labels, not floats)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    sys.path.insert(0, REF_SRC)
+    try:
+        import ReadsCluster as ref_rc
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference ReadsCluster unimportable: {exc}")
+    finally:
+        sys.path.remove(REF_SRC)
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        x = _make_two_cluster(rng, nf=20 + 4 * trial)
+        K_ref, _, lab_ref, *_ = ref_rc.EMCluster(x, initselection=1)
+        K_new, _, lab_new, *_ = em_cluster(x, dtype=jnp.float64)
+        assert K_new == K_ref
+        # labels equal up to permutation
+        perm = {}
+        ok = True
+        for a, b in zip(lab_ref, lab_new):
+            if a in perm:
+                ok = ok and perm[a] == b
+            else:
+                perm[a] = b
+        assert ok and len(set(perm.values())) == len(perm)
