@@ -153,9 +153,8 @@ def _bic(lik_sum, n_true, nf_true, k, zero_param_num):
     return 2.0 * lik_sum - n_theta * jnp.log(n_true)
 
 
-@functools.partial(jax.jit, static_argnames=("nsteps",))
-def _em_all_k(x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
-              zero_param_num, keys, nsteps: int = NSTEP):
+def _em_all_k_core(x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
+                   zero_param_num, keys, nsteps: int = NSTEP):
     """vmap EM over the K axis for one window.
 
     gamma0_all: (MAX_K, N, MAX_K); kmask_all: (MAX_K, MAX_K); keys: (MAX_K,)
@@ -170,6 +169,13 @@ def _em_all_k(x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
     return bics, gammas, pis, thetas
 
 
+_em_all_k = functools.partial(jax.jit, static_argnames=("nsteps",))(_em_all_k_core)
+
+# batched over a leading window axis (windows padded to one shape bucket)
+_em_all_k_batch = functools.partial(jax.jit, static_argnames=("nsteps",))(
+    jax.vmap(_em_all_k_core, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
+
+
 def zero_param_count(seqdatamx: np.ndarray) -> int:
     """Number of (symbol, column) cells with zero count
     (src/ReadsCluster.py:225-234)."""
@@ -178,52 +184,117 @@ def zero_param_count(seqdatamx: np.ndarray) -> int:
     return int((counts == 0).sum())
 
 
+def _bucket(x: int, ladder=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)):
+    for b in ladder:
+        if x <= b:
+            return b
+    return x
+
+
+def _prepare_window(x: np.ndarray, max_c: int, n_pad: int, nf_pad: int):
+    """Host-side prep of one window for the jitted EM: one-hot matrix,
+    Ward-init hard assignments for every K, masks and counts."""
+    n, nf = x.shape
+    kmax_excl = min(max_c + 1, n)
+    n_k = max(kmax_excl - 1, 1)
+    hard = ward_init_labels(x, min(n_k, MAX_K))
+    x_oh = np.zeros((n_pad, nf_pad, ALPHA), dtype=np.float64)
+    valid = x < ALPHA
+    idx = np.where(valid)
+    x_oh[idx[0], idx[1], x[valid]] = 1.0
+    gamma0_all = np.zeros((MAX_K, n_pad, MAX_K), np.float64)
+    kmask_all = np.zeros((MAX_K, MAX_K), bool)
+    for ki in range(n_k):
+        kmask_all[ki, :ki + 1] = True
+        gamma0_all[ki, np.arange(n), hard[ki]] = 1.0
+    read_mask = np.zeros(n_pad, np.float64)
+    read_mask[:n] = 1.0
+    return x_oh, read_mask, gamma0_all, kmask_all, n_k, zero_param_count(x)
+
+
+def _select_result(x, bics, gammas, pis, thetas, n_k):
+    """BIC argmax + K=1->2 tie-break + slicing, shared by single/batch."""
+    n, nf = x.shape
+    bics = np.array(bics, np.float64)
+    bics[n_k:] = np.nan
+    sel = int(np.nanargmax(bics))
+    k_sel = sel + 1
+    if k_sel == 1 and n_k >= 2 and (bics[0] - bics[1] <= nf * np.log(n)):
+        sel, k_sel = 1, 2
+    gamma = np.array(gammas[sel], np.float64)[:n, :k_sel]
+    theta = np.array(thetas[sel], np.float64)[:k_sel]
+    pi = np.array(pis[sel], np.float64)[:k_sel]
+    labels = np.argmax(gamma, axis=1)
+    return [k_sel, x, labels, theta, gamma, pi, bics[:n_k]]
+
+
+def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
+                     seed: int = 2023, dtype=jnp.float32, nsteps: int = NSTEP):
+    """Batched EMCluster over many windows.
+
+    Windows are grouped into (reads, features) shape buckets; each bucket is
+    one vmapped device call over (window, K, EM-scan) — the TPU throughput
+    path for localGraph.  Per-window results are identical to em_cluster.
+    """
+    results: list = [None] * len(feats)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, x in enumerate(feats):
+        key = (_bucket(x.shape[0]), _bucket(x.shape[1]))
+        groups.setdefault(key, []).append(i)
+    base_key = jax.random.PRNGKey(seed)
+    cast = lambda a: jnp.asarray(np.stack(a), dtype=dtype)
+    for (n_pad, nf_pad), idxs in groups.items():
+        xs, rms, g0s, kms, nks, zps, ns, nfs = [], [], [], [], [], [], [], []
+        for i in idxs:
+            x = np.asarray(feats[i])
+            x_oh, rm, g0, km, n_k, zpn = _prepare_window(x, max_c, n_pad, nf_pad)
+            xs.append(x_oh); rms.append(rm); g0s.append(g0); kms.append(km)
+            nks.append(n_k); zps.append(float(zpn))
+            ns.append(float(x.shape[0])); nfs.append(float(x.shape[1]))
+        # same per-window key schedule as em_cluster (seed-deterministic and
+        # independent of batch composition)
+        one = jax.random.split(base_key, MAX_K)
+        keys = jnp.broadcast_to(one, (len(idxs),) + one.shape)
+        bics_b, gammas_b, pis_b, thetas_b = _em_all_k_batch(
+            cast(xs), cast(rms), cast(g0s), jnp.asarray(np.stack(kms)),
+            jnp.asarray(np.array(ns), dtype=dtype),
+            jnp.asarray(np.array(nfs), dtype=dtype),
+            jnp.asarray(np.array(zps), dtype=dtype), keys, nsteps)
+        bics_b = np.array(bics_b)
+        gammas_b = np.array(gammas_b)
+        pis_b = np.array(pis_b)
+        thetas_b = np.array(thetas_b)
+        for bi, i in enumerate(idxs):
+            results[i] = _select_result(np.asarray(feats[i]), bics_b[bi],
+                                        gammas_b[bi], pis_b[bi], thetas_b[bi],
+                                        nks[bi])
+    return results
+
+
 def em_cluster(seqdatamx: np.ndarray, max_c: int = MAX_K, seed: int = 2023,
-               dtype=jnp.float32, nsteps: int = NSTEP):
+               dtype=jnp.float32, nsteps: int = NSTEP, pad_shapes: bool = True):
     """EMCluster equivalent (src/ReadsCluster.py:221-277).
 
     Returns [K, seqdatamx, labels, theta, gamma, pi, bic_list] like the
     reference.  Host wrapper around the jitted all-K batch; the engine's
     batched path calls _em_all_k directly on padded window batches.
+
+    pad_shapes: pad (reads, features) up to power-of-two buckets so the jit
+    cache stays small across windows of varying size; padding is exact
+    (masked rows, zero one-hots) — results are unchanged.
     """
     x = np.asarray(seqdatamx)
     n, nf = x.shape
-    kmax_excl = min(max_c + 1, n)          # K ranges 1..kmax_excl-1
-    n_k = max(kmax_excl - 1, 1)
-    hard = ward_init_labels(x, min(n_k, MAX_K))
-
-    x_oh = np.zeros((n, nf, ALPHA), dtype=np.float64)
-    valid = x < ALPHA
-    idx = np.where(valid)
-    x_oh[idx[0], idx[1], x[valid]] = 1.0
-
-    gamma0_all = np.zeros((MAX_K, n, MAX_K), np.float64)
-    kmask_all = np.zeros((MAX_K, MAX_K), bool)
-    for ki in range(n_k):
-        k = ki + 1
-        kmask_all[ki, :k] = True
-        gamma0_all[ki, np.arange(n), hard[ki]] = 1.0
-
-    zpn = zero_param_count(x)
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, MAX_K)
-    read_mask = np.ones(n, np.float64)
-
+    n_pad = _bucket(n) if pad_shapes else n
+    nf_pad = _bucket(nf) if pad_shapes else nf
+    x_oh, read_mask, gamma0_all, kmask_all, n_k, zpn = _prepare_window(
+        x, max_c, n_pad, nf_pad)
+    keys = jax.random.split(jax.random.PRNGKey(seed), MAX_K)
     cast = lambda a: jnp.asarray(a, dtype=dtype)
     bics, gammas, pis, thetas = _em_all_k(
         cast(x_oh), cast(read_mask), cast(gamma0_all),
         jnp.asarray(kmask_all), jnp.asarray(float(n), dtype=dtype),
         jnp.asarray(float(nf), dtype=dtype), jnp.asarray(float(zpn), dtype=dtype),
         keys, nsteps)
-    bics = np.array(bics, np.float64)
-    bics[n_k:] = np.nan
-    sel = int(np.nanargmax(bics))
-    k_sel = sel + 1
-    # K=1 -> K=2 tie-break (src/ReadsCluster.py:269-272)
-    if k_sel == 1 and n_k >= 2 and (bics[0] - bics[1] <= nf * np.log(n)):
-        sel, k_sel = 1, 2
-    gamma = np.asarray(gammas[sel], np.float64)[:, :k_sel]
-    theta = np.asarray(thetas[sel], np.float64)[:k_sel]
-    pi = np.asarray(pis[sel], np.float64)[:k_sel]
-    labels = np.argmax(gamma, axis=1)
-    return [k_sel, x, labels, theta, gamma, pi, bics[:n_k]]
+    return _select_result(x, np.array(bics), np.array(gammas), np.array(pis),
+                          np.array(thetas), n_k)
