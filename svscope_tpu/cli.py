@@ -1,0 +1,232 @@
+"""Command-line interface.
+
+Mirrors the reference's five subcommands (src/SVscope.py:358-474):
+DataPrepare, localGraph, localGraph_npz, AlnFeature, callsomaticSV, plus
+`adjustVCF` (the reference ships that step as a separate script,
+src/CheckInner-alignmentSVs.adjustVCF.py).
+
+Differences by design (TPU-native data plane):
+  * no bedtools/bamtobed/bgzip/tabix/SQLite subprocesses — BAMs are read
+    natively into in-memory alignment tables
+  * the genome-window bed (-W) is optional: generated from the .fai when
+    omitted
+  * --device-dtype float32|float64 selects the EM precision (float64
+    matches the reference CPU numerics; float32 is the TPU fast path)
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s - %(levelname)s - %(message)s")
+log = logging.getLogger("svscope_tpu.cli")
+
+
+def _em_dtype(args):
+    import jax.numpy as jnp
+    if getattr(args, "device_dtype", "float32") == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
+def _load_tables(args):
+    from .io.bam import AlignmentTable
+    t = AlignmentTable.concat([AlignmentTable.from_bam(p)
+                               for p in args.Tumorbam.split(",")])
+    n = AlignmentTable.concat([AlignmentTable.from_bam(p)
+                               for p in args.Normalbam.split(",")])
+    return t, n
+
+
+def _genome_windows(args, fai):
+    from .engine.features import make_genome_windows
+    if getattr(args, "genomeWindow", None):
+        rows = [l.split("\t")[:3] for l in
+                open(args.genomeWindow).read().splitlines() if l.strip()]
+        return [(c, int(s), int(e)) for c, s, e in rows]
+    return make_genome_windows(fai)
+
+
+def cmd_data_prepare(args):
+    from .select.windows import find_candidate_sv_windows
+    from .select.interaln import write_interaln_vcf
+    fai = args.Reference + ".fai"
+    os.makedirs(args.savedir, exist_ok=True)
+    if args.selectwindows:
+        t_table, n_table = _load_tables(args)
+        paths = find_candidate_sv_windows(t_table, n_table, fai,
+                                          args.tandemRepeatFile, args.savedir)
+        write_interaln_vcf(args.savedir, fai,
+                           os.path.basename(args.Tumorbam.split(",")[0]
+                                            ).split(".bam")[0], paths)
+        args.windowBed = paths["somatic_bed"]
+        if args.saveData:
+            from .engine.npz import save_window_data
+            records = [l for l in open(args.windowBed).read().splitlines()
+                       if l.strip()]
+            save_window_data(records, args.Reference,
+                             args.Tumorbam.split(","),
+                             args.Normalbam.split(","),
+                             args.TSampleID.split(","),
+                             args.NSampleID.split(","), args.savedir,
+                             offset=args.offset, mapq=args.mapQ)
+        elif args.FullProcess:
+            args.rawBedFile = cmd_local_graph(args)
+            cmd_aln_feature(args)
+    log.info("DataPrepare: all processes finished")
+
+
+def cmd_local_graph(args):
+    from .engine.localgraph import run_local_graph
+    records = [l for l in open(args.windowBed).read().splitlines()
+               if l.strip() and not l.startswith("chrom\t")]
+    return run_local_graph(
+        records, args.Reference, args.Tumorbam.split(","),
+        args.Normalbam.split(","), args.TSampleID.split(","),
+        args.NSampleID.split(","), args.savedir, offset=args.offset,
+        mapq=args.mapQ, continue_run=args.Continue, em_dtype=_em_dtype(args))
+
+
+def cmd_local_graph_npz(args):
+    from .engine.localgraph import raw_bed_name
+    from .engine.npz import load_window_data
+    from .engine.decision import decision
+    t_ids = args.TSampleID.split(",")
+    n_ids = args.NSampleID.split(",")
+    out_path = os.path.join(args.savedir, raw_bed_name(t_ids, n_ids))
+    done = set()
+    rows = []
+    if args.Continue and os.path.exists(out_path):
+        for line in open(out_path):
+            if line.strip():
+                rows.append(line.rstrip("\n"))
+                done.add(":".join(line.split("\t")[0:3]))
+    dtype = _em_dtype(args)
+    for win in load_window_data(args.savedir):
+        key = ":".join(win.record.strip().split("\t")[0:3])
+        if key in done:
+            continue
+        rec = decision(win, em_dtype=dtype)
+        rows.append("\t".join(str(x) for x in rec))
+    rows.sort(key=lambda l: (l.split("\t")[0], int(l.split("\t")[1])))
+    with open(out_path, "w") as f:
+        f.write("\n".join(rows) + ("\n" if rows else ""))
+    log.info("localGraph_npz: %d records -> %s", len(rows), out_path)
+    return out_path
+
+
+def cmd_aln_feature(args):
+    from .engine.features import run_aln_feature
+    from .out.vcf import bed2vcf, merge_somatic_vcf
+    fai = args.Reference + ".fai"
+    t_table, n_table = _load_tables(args)
+    windows = _genome_windows(args, fai)
+    pool, somatic_bed, rf_out = run_aln_feature(
+        args.rawBedFile, windows, t_table, n_table, args.TSampleID,
+        args.savedir)
+    tag = "_".join(args.TSampleID.split(","))
+    out_vcf = os.path.join(args.savedir, f"{tag}.vcf")
+    bed2vcf(args.rawBedFile, somatic_bed, rf_out, out_vcf, args.TSampleID,
+            args.Reference)
+    inter = os.path.join(args.savedir, "InterALNSVs.vcf")
+    merged = os.path.join(args.savedir, f"{tag}.mergedSomatic.vcf")
+    merge_somatic_vcf(out_vcf, inter, merged)
+    log.info("AlnFeature: %s", merged)
+    return merged
+
+
+def cmd_call_somatic_sv(args):
+    args.rawBedFile = cmd_local_graph(args)
+    merged = cmd_aln_feature(args)
+    return merged
+
+
+def cmd_adjust_vcf(args):
+    from .out.adjust import adjust_vcf
+    out = adjust_vcf(args.savedir)
+    log.info("adjustVCF: %s", out)
+    return out
+
+
+def _common_bam_args(p, window_bed=True):
+    if window_bed:
+        p.add_argument("-w", "--windowBed", required=True)
+    p.add_argument("-T", "--Tumorbam", required=True)
+    p.add_argument("-N", "--Normalbam", required=True)
+    p.add_argument("-t", "--TSampleID", required=True)
+    p.add_argument("-n", "--NSampleID", required=True)
+    p.add_argument("-r", "--Reference", required=True)
+    p.add_argument("-s", "--savedir", required=True)
+    p.add_argument("-p", "--thread", default="8")
+    p.add_argument("-o", "--offset", type=int, default=50)
+    p.add_argument("-q", "--mapQ", type=int, default=5)
+    p.add_argument("--device-dtype", default="float32",
+                   choices=["float32", "float64"])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="svscope-tpu",
+        description="TPU-native somatic SV caller (local graph-genome "
+                    "optimization + whole-genome alignment feature filter)")
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("DataPrepare")
+    p.add_argument("-D", "--tandemRepeatFile", required=True)
+    _common_bam_args(p, window_bed=False)
+    p.add_argument("--selectwindows", action="store_true", default=False)
+    p.add_argument("--saveData", action="store_true", default=False)
+    p.add_argument("--FullProcess", action="store_true", default=False)
+    p.add_argument("-C", "--Continue", action="store_true", default=False)
+    p.add_argument("-c", "--cleanupDat", action="store_true", default=False)
+    p.add_argument("-W", "--genomeWindow", required=False)
+    p.set_defaults(func=cmd_data_prepare)
+
+    p = sub.add_parser("localGraph")
+    _common_bam_args(p)
+    p.add_argument("-C", "--Continue", action="store_true", default=False)
+    p.set_defaults(func=cmd_local_graph)
+
+    p = sub.add_parser("localGraph_npz")
+    p.add_argument("-t", "--TSampleID", required=True)
+    p.add_argument("-n", "--NSampleID", required=True)
+    p.add_argument("-s", "--savedir", required=True)
+    p.add_argument("-p", "--thread", default="8")
+    p.add_argument("-o", "--offset", type=int, default=50)
+    p.add_argument("-q", "--mapQ", type=int, default=5)
+    p.add_argument("-C", "--Continue", action="store_true", default=False)
+    p.add_argument("--device-dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.set_defaults(func=cmd_local_graph_npz)
+
+    p = sub.add_parser("AlnFeature")
+    p.add_argument("-B", "--rawBedFile", required=True)
+    p.add_argument("-W", "--genomeWindow", required=False)
+    _common_bam_args(p, window_bed=False)
+    p.set_defaults(func=cmd_aln_feature)
+
+    p = sub.add_parser("callsomaticSV")
+    p.add_argument("-W", "--genomeWindow", required=False)
+    _common_bam_args(p)
+    p.add_argument("-c", "--cleanupDat", action="store_true", default=False)
+    p.add_argument("-C", "--Continue", action="store_true", default=False)
+    p.set_defaults(func=cmd_call_somatic_sv)
+
+    p = sub.add_parser("adjustVCF")
+    p.add_argument("-s", "--savedir", required=True)
+    p.set_defaults(func=cmd_adjust_vcf)
+
+    args = parser.parse_args(argv)
+    if hasattr(args, "func"):
+        return args.func(args)
+    parser.print_help()
+    return None
+
+
+if __name__ == "__main__":
+    main()

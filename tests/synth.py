@@ -36,8 +36,8 @@ def make_read(ref: str, name: str, aln_start: int, aln_end: int,
     return BamRecord(name, flag, ref_id, aln_start, mapq, ops, lens, seq)
 
 
-def make_test_pair(tmpdir: str, seed: int = 0, ref_len: int = 6000,
-                   windows=None):
+def make_test_pair(tmpdir: str, seed: int = 0, ref_len: int = 60_000,
+                   windows=None, bg_reads_per_10kb: int = 3):
     """Write ref.fa, tumor.bam, normal.bam into tmpdir.
 
     windows: list of dicts {start, end, svtype ('INS'|'DEL'), svlen,
@@ -61,25 +61,44 @@ def make_test_pair(tmpdir: str, seed: int = 0, ref_len: int = 6000,
     for wi, w in enumerate(windows):
         s, e = w["start"], w["end"]
         mid = (s + e) // 2
-        sv = None
-        if w["svtype"] == "INS":
-            sv = ("INS", mid, rand_seq(rng, w["svlen"]))
-        elif w["svtype"] == "DEL":
-            sv = ("DEL", mid - w["svlen"] // 2, w["svlen"])
+        ins_seq = rand_seq(rng, w["svlen"]) if w["svtype"] == "INS" else ""
+        jitter = int(w.get("jitter", 15))
         for i in range(w["depth"]):
             a0 = s - 300 + int(rng.integers(0, 50))
             a1 = e + 300 + int(rng.integers(0, 50))
             a0 = max(a0, 0)
             a1 = min(a1, ref_len)
             has_sv = i < w["som_reads"]
-            t_recs.append(make_read(ref, f"w{wi}t{i}", a0, a1,
-                                    sv if has_sv else None))
+            sv = None
+            if has_sv and w["svtype"]:
+                # per-read breakpoint jitter like real ONT alignments, so
+                # merged candidate windows get nonzero width
+                m = mid + int(rng.integers(-jitter, jitter + 1))
+                if w["svtype"] == "INS":
+                    sv = ("INS", m, ins_seq)
+                else:
+                    sv = ("DEL", m - w["svlen"] // 2, w["svlen"])
+            t_recs.append(make_read(ref, f"w{wi}t{i}", a0, a1, sv))
         for i in range(w["depth"]):
             a0 = max(s - 300 + int(rng.integers(0, 50)), 0)
             a1 = min(e + 300 + int(rng.integers(0, 50)), ref_len)
             n_recs.append(make_read(ref, f"w{wi}n{i}", a0, a1, None))
         window_records.append(f"chr1\t{s}\t{e}\t{w['depth']}\t{w['depth']}\t"
                               f"{w['svtype'] or 'INS'}")
+    # scattered background coverage so genome-grid COV/mapQ stats vary
+    for chunk in range(0, ref_len, 10_000):
+        for i in range(int(rng.integers(max(bg_reads_per_10kb - 1, 1),
+                                        bg_reads_per_10kb + 2))):
+            a0 = chunk + int(rng.integers(0, 8000))
+            a1 = min(a0 + int(rng.integers(1500, 4000)), ref_len)
+            mq = 3 if rng.random() < 0.2 else 60  # some low-mapQ noise
+            t_recs.append(make_read(ref, f"bgt{chunk}_{i}", a0, a1, None,
+                                    mapq=mq))
+            b0 = chunk + int(rng.integers(0, 8000))
+            b1 = min(b0 + int(rng.integers(1500, 4000)), ref_len)
+            mq = 3 if rng.random() < 0.2 else 60
+            n_recs.append(make_read(ref, f"bgn{chunk}_{i}", b0, b1, None,
+                                    mapq=mq))
     tumor = f"{tmpdir}/tumor.bam"
     normal = f"{tmpdir}/normal.bam"
     with BamWriter(tumor, ["chr1"], [ref_len]) as wtr:

