@@ -39,6 +39,8 @@ NSTEP = 20         # fixed EM iterations (src/ReadsCluster.py:190)
 PAD_CODE = 5       # feature pad: one-hot(5, num_classes=5) == zeros
 EPS = 1e-10
 NEG_BIG = -1e30
+MAX_BATCH = 256                  # windows per device call
+BATCH_LADDER = (8, 32, 128, 256)  # batch-axis shape buckets (compile cache)
 
 
 # ---------------------------------------------------------------------------
@@ -61,6 +63,32 @@ def pairwise_identity(seqdatamx: np.ndarray) -> np.ndarray:
     return out
 
 
+def _cut_tree_labels(Z: np.ndarray, n: int, k: int) -> np.ndarray:
+    """K-cluster labels by applying the first n-k merges of a monotone
+    linkage — equivalent to fcluster(..., 'maxclust') for Ward trees but
+    without scipy's per-call validation overhead (which dominated the init
+    profile).  Labels numbered by first leaf occurrence."""
+    parent = np.arange(2 * n - 1)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for m in range(n - k):
+        a, b = int(Z[m, 0]), int(Z[m, 1])
+        parent[find(a)] = parent[find(b)] = n + m
+    roots = {}
+    out = np.empty(n, np.int32)
+    for i in range(n):
+        r = find(i)
+        if r not in roots:
+            roots[r] = len(roots)
+        out[i] = roots[r]
+    return out
+
+
 def ward_init_labels(seqdatamx: np.ndarray, kmax: int) -> np.ndarray:
     """(kmax, N) int labels in 0..K-1 for K = 1..kmax from Ward linkage.
 
@@ -75,7 +103,7 @@ def ward_init_labels(seqdatamx: np.ndarray, kmax: int) -> np.ndarray:
         for k in range(2, kmax + 1):
             if k > n:
                 break
-            labels[k - 1] = fcluster(Z, k, criterion="maxclust") - 1
+            labels[k - 1] = _cut_tree_labels(Z, n, k)
     return labels
 
 
@@ -176,6 +204,154 @@ _em_all_k_batch = functools.partial(jax.jit, static_argnames=("nsteps",))(
     jax.vmap(_em_all_k_core, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
 
 
+def _em_all_k_light(x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
+                    zero_param_num, keys, nsteps: int = NSTEP):
+    """bics + gammas only — the production localGraph path.  Decision logic
+    consumes cluster labels, never theta/pi (src/DecisionMaker.py:138-190),
+    and the per-K theta stack dwarfs everything else in transfer bytes."""
+    bics, gammas, _pis, _thetas = _em_all_k_core(
+        x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
+        zero_param_num, keys, nsteps)
+    return bics, gammas
+
+
+_em_all_k_batch_light = functools.partial(
+    jax.jit, static_argnames=("nsteps",))(
+    jax.vmap(_em_all_k_light, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
+
+
+def _em_codes_one(codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype):
+    """Device-side expansion of the compact per-window payload: int8 MSA
+    codes (pad=5 one-hots to zero), Ward hard labels per K, scalar counts.
+    Host->device traffic drops ~20x vs shipping f32 one-hots — that is the
+    difference between tunnel-transfer-bound and compute-bound."""
+    n_pad, nf_pad = codes.shape
+    x_oh = (codes[..., None] == jnp.arange(ALPHA, dtype=codes.dtype)
+            ).astype(dtype)
+    ar = jnp.arange(n_pad)
+    read_mask = (ar < n_true).astype(dtype)
+    gamma0_all = ((hard[:, :, None] == jnp.arange(MAX_K, dtype=hard.dtype))
+                  .astype(dtype) * read_mask[None, :, None])
+    ki = jnp.arange(MAX_K)
+    kmask_all = (ki[None, :] <= ki[:, None]) & (ki[:, None] < n_k)
+    return _em_all_k_light(x_oh, read_mask, gamma0_all, kmask_all,
+                           n_true.astype(dtype), nf_true.astype(dtype),
+                           zpn.astype(dtype), keys, nsteps)
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "dtype"))
+def _em_codes_batch(codes, hard, n_k, n_true, nf_true, zpn, keys,
+                    nsteps: int = NSTEP, dtype=jnp.float32):
+    return jax.vmap(_em_codes_one,
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+        codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
+
+
+# ---------------------------------------------------------------------------
+# K-folded batched EM: all 9 K-runs of a window share one segmented slot
+# axis (sum_{K=1..9} K = 45 cluster slots), so each EM step is ONE pair of
+# batched matmuls over (windows, reads, nf*5) x (nf*5, 45) instead of nine
+# vmapped copies that re-read the one-hot matrix.  Mathematically identical
+# to the per-K path (softmax == the reference's reciprocal-sum; segments
+# never interact); ~an order of magnitude fewer device ops per step.
+# ---------------------------------------------------------------------------
+
+R_TOTAL = MAX_K * (MAX_K + 1) // 2           # 45
+SLOT_RUN = np.concatenate([[r] * (r + 1) for r in range(MAX_K)])  # (45,)
+RUN_OFF = np.concatenate([[0], np.cumsum(np.arange(1, MAX_K + 1))])[:MAX_K]
+SLOT_K = SLOT_RUN + 1                         # K of the run owning the slot
+SEG = np.eye(MAX_K)[SLOT_RUN]                 # (45, 9) slot -> run one-hot
+
+
+def _em_folded_one(codes, hard, n_k, n_true, nf_true, zpn, key,
+                   nsteps: int, dtype):
+    n_pad, nf_pad = codes.shape
+    seg = jnp.asarray(SEG, dtype)                          # (R, 9)
+    slot_run = jnp.asarray(SLOT_RUN)
+    slot_k = jnp.asarray(SLOT_K, dtype)
+    run_off = jnp.asarray(RUN_OFF)
+
+    x_oh = (codes[..., None] == jnp.arange(ALPHA, dtype=codes.dtype))
+    x_flat = x_oh.reshape(n_pad, nf_pad * ALPHA).astype(dtype)
+    read_mask = (jnp.arange(n_pad) < n_true).astype(dtype)
+    nt = n_true.astype(dtype)
+    slot_active = slot_run < n_k                           # (R,)
+
+    # init gamma: run r's hard labels land in slots run_off[r] + label
+    slots0 = run_off[:, None] + hard.astype(jnp.int32)     # (9, N)
+    g0 = (slots0[..., None] == jnp.arange(R_TOTAL)).astype(dtype)
+    run_ok = (jnp.arange(MAX_K) < n_k).astype(dtype)
+    gamma0 = (g0 * run_ok[:, None, None]).sum(0) * read_mask[:, None]
+
+    def m_step(gamma, key):
+        g = gamma * read_mask[:, None]
+        denom = g.sum(axis=0)                              # (R,)
+        counts = g.T @ x_flat                              # (R, nf*5)
+        theta = counts / jnp.where(denom == 0, 1.0, denom)[:, None]
+        pi = denom / nt
+        # per-run degeneracy: any active slot with pi*N < 1 or NaN
+        bad_slot = ((pi * nt < 1) | jnp.isnan(pi)) & slot_active
+        bad_run = (seg.T @ bad_slot.astype(dtype)) > 0     # (9,)
+        bad = (seg @ bad_run.astype(dtype)) > 0            # (R,)
+        # Dirichlet(1) == normalized exponentials (cheap on device)
+        e = -jnp.log(jax.random.uniform(key, (R_TOTAL, nf_pad, ALPHA),
+                                        dtype=dtype, minval=1e-12))
+        dirich = (e / e.sum(-1, keepdims=True)).reshape(R_TOTAL, -1)
+        pi = jnp.where(bad, 1.0 / slot_k, pi)
+        theta = jnp.where(bad[:, None], dirich, theta)
+        return pi, theta
+
+    def e_step(pi, theta):
+        logt = jnp.log(jnp.clip(theta, EPS, 1 - EPS))
+        M = x_flat @ logt.T + jnp.log(jnp.clip(pi, EPS, 1 - EPS))[None, :]
+        M = jnp.where(slot_active[None, :], M, NEG_BIG)
+        # segment softmax (== reference reciprocal-sum, src/ReadsCluster.py:153)
+        segmax_runs = []
+        for r in range(MAX_K):
+            o = int(RUN_OFF[r])
+            segmax_runs.append(M[:, o:o + r + 1].max(axis=1))
+        m_run = jnp.stack(segmax_runs, axis=1)             # (N, 9)
+        m_slot = m_run @ seg.T                             # (N, R)
+        a = jnp.exp(jnp.clip(M - m_slot, -700.0, 700.0))
+        denom = (a @ seg) @ seg.T                          # (N, R) per-segment sums
+        gamma = a / denom
+        gamma = jnp.where(slot_active[None, :], gamma, 0.0)
+        return gamma, M
+
+    def step(carry, key):
+        gamma = carry
+        pi, theta = m_step(gamma, key)
+        gamma, M = e_step(pi, theta)
+        lik_slot = gamma * M                               # (N, R)
+        lik_run = (lik_slot @ seg) * read_mask[:, None]    # (N, 9)
+        return gamma, lik_run.sum(axis=0)
+
+    keys = jax.random.split(key, nsteps + 1)
+    pi0, theta0 = m_step(gamma0, keys[0])
+    gamma, _ = e_step(pi0, theta0)
+    gamma, liks = jax.lax.scan(step, gamma, keys[1:])
+    lik = liks[-1]                                         # (9,)
+    ks = jnp.arange(1, MAX_K + 1, dtype=dtype)
+    n_theta = (ks - 1) + ks * nf_true.astype(dtype) * (ALPHA - 1) \
+        - zpn.astype(dtype)
+    bics = 2.0 * lik - n_theta * jnp.log(nt)
+    # re-split segments into the (9, N, 9) per-run gamma layout
+    gam_runs = []
+    for r in range(MAX_K):
+        o = int(RUN_OFF[r])
+        pad = jnp.zeros((n_pad, MAX_K - (r + 1)), dtype)
+        gam_runs.append(jnp.concatenate([gamma[:, o:o + r + 1], pad], axis=1))
+    return bics, jnp.stack(gam_runs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "dtype"))
+def _em_folded_batch(codes, hard, n_k, n_true, nf_true, zpn, keys,
+                     nsteps: int = NSTEP, dtype=jnp.float32):
+    return jax.vmap(_em_folded_one,
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+        codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
+
+
 def zero_param_count(seqdatamx: np.ndarray) -> int:
     """Number of (symbol, column) cells with zero count
     (src/ReadsCluster.py:225-234)."""
@@ -213,7 +389,8 @@ def _prepare_window(x: np.ndarray, max_c: int, n_pad: int, nf_pad: int):
 
 
 def _select_result(x, bics, gammas, pis, thetas, n_k):
-    """BIC argmax + K=1->2 tie-break + slicing, shared by single/batch."""
+    """BIC argmax + K=1->2 tie-break + slicing, shared by single/batch.
+    pis/thetas may be None (light batch path)."""
     n, nf = x.shape
     bics = np.array(bics, np.float64)
     bics[n_k:] = np.nan
@@ -222,8 +399,8 @@ def _select_result(x, bics, gammas, pis, thetas, n_k):
     if k_sel == 1 and n_k >= 2 and (bics[0] - bics[1] <= nf * np.log(n)):
         sel, k_sel = 1, 2
     gamma = np.array(gammas[sel], np.float64)[:n, :k_sel]
-    theta = np.array(thetas[sel], np.float64)[:k_sel]
-    pi = np.array(pis[sel], np.float64)[:k_sel]
+    theta = np.array(thetas[sel], np.float64)[:k_sel] if thetas is not None else None
+    pi = np.array(pis[sel], np.float64)[:k_sel] if pis is not None else None
     labels = np.argmax(gamma, axis=1)
     return [k_sel, x, labels, theta, gamma, pi, bics[:n_k]]
 
@@ -243,31 +420,49 @@ def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
         groups.setdefault(key, []).append(i)
     base_key = jax.random.PRNGKey(seed)
     cast = lambda a: jnp.asarray(np.stack(a), dtype=dtype)
-    for (n_pad, nf_pad), idxs in groups.items():
-        xs, rms, g0s, kms, nks, zps, ns, nfs = [], [], [], [], [], [], [], []
-        for i in idxs:
+    # fixed batch-axis buckets: one chunk = one compiled shape; pad chunks
+    # by repeating the first window (results discarded)
+    chunks = []
+    for key, idxs in groups.items():
+        for off in range(0, len(idxs), MAX_BATCH):
+            chunks.append((key, idxs[off:off + MAX_BATCH]))
+    for (n_pad, nf_pad), idxs in chunks:
+        b_pad = _bucket(len(idxs), ladder=BATCH_LADDER)
+        codes = np.full((b_pad, n_pad, nf_pad), PAD_CODE, np.int8)
+        hard_b = np.zeros((b_pad, MAX_K, n_pad), np.int8)
+        nks = np.ones(b_pad, np.int32)
+        ns = np.zeros(b_pad, np.int32)
+        nfs = np.zeros(b_pad, np.int32)
+        zps = np.zeros(b_pad, np.float64)
+        for bi, i in enumerate(idxs):
             x = np.asarray(feats[i])
-            x_oh, rm, g0, km, n_k, zpn = _prepare_window(x, max_c, n_pad, nf_pad)
-            xs.append(x_oh); rms.append(rm); g0s.append(g0); kms.append(km)
-            nks.append(n_k); zps.append(float(zpn))
-            ns.append(float(x.shape[0])); nfs.append(float(x.shape[1]))
-        # same per-window key schedule as em_cluster (seed-deterministic and
-        # independent of batch composition)
-        one = jax.random.split(base_key, MAX_K)
-        keys = jnp.broadcast_to(one, (len(idxs),) + one.shape)
-        bics_b, gammas_b, pis_b, thetas_b = _em_all_k_batch(
-            cast(xs), cast(rms), cast(g0s), jnp.asarray(np.stack(kms)),
-            jnp.asarray(np.array(ns), dtype=dtype),
-            jnp.asarray(np.array(nfs), dtype=dtype),
-            jnp.asarray(np.array(zps), dtype=dtype), keys, nsteps)
+            n, nf = x.shape
+            codes[bi, :n, :nf] = x
+            n_k = max(min(max_c + 1, n) - 1, 1)
+            hard_b[bi, :min(n_k, MAX_K), :n] = ward_init_labels(
+                x, min(n_k, MAX_K))
+            nks[bi] = n_k
+            ns[bi], nfs[bi] = n, nf
+            zps[bi] = zero_param_count(x)
+        if len(idxs) < b_pad:                # batch-axis padding
+            codes[len(idxs):] = codes[0]
+            hard_b[len(idxs):] = hard_b[0]
+            nks[len(idxs):] = nks[0]
+            ns[len(idxs):] = ns[0]
+            nfs[len(idxs):] = nfs[0]
+            zps[len(idxs):] = zps[0]
+        # per-window key fixed by seed (deterministic and independent of
+        # batch composition; RNG is only consumed on degenerate re-inits)
+        keys = jnp.broadcast_to(base_key, (b_pad,) + base_key.shape)
+        bics_b, gammas_b = _em_folded_batch(
+            jnp.asarray(codes), jnp.asarray(hard_b), jnp.asarray(nks),
+            jnp.asarray(ns), jnp.asarray(nfs),
+            jnp.asarray(zps, dtype=dtype), keys, nsteps, dtype)
         bics_b = np.array(bics_b)
         gammas_b = np.array(gammas_b)
-        pis_b = np.array(pis_b)
-        thetas_b = np.array(thetas_b)
         for bi, i in enumerate(idxs):
             results[i] = _select_result(np.asarray(feats[i]), bics_b[bi],
-                                        gammas_b[bi], pis_b[bi], thetas_b[bi],
-                                        nks[bi])
+                                        gammas_b[bi], None, None, int(nks[bi]))
     return results
 
 
