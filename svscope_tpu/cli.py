@@ -107,12 +107,12 @@ def cmd_local_graph_npz(args):
                 rows.append(line.rstrip("\n"))
                 done.add(":".join(line.split("\t")[0:3]))
     dtype = _em_dtype(args)
-    for win in load_window_data(args.savedir):
-        key = ":".join(win.record.strip().split("\t")[0:3])
-        if key in done:
-            continue
-        rec = decision(win, em_dtype=dtype)
-        rows.append("\t".join(str(x) for x in rec))
+    from .engine.localgraph import process_window_batch
+    wins = [w for w in load_window_data(args.savedir)
+            if ":".join(w.record.strip().split("\t")[0:3]) not in done]
+    for off in range(0, len(wins), 256):
+        for rec in process_window_batch(wins[off:off + 256], em_dtype=dtype):
+            rows.append("\t".join(str(x) for x in rec))
     rows.sort(key=lambda l: (l.split("\t")[0], int(l.split("\t")[1])))
     with open(out_path, "w") as f:
         f.write("\n".join(rows) + ("\n" if rows else ""))

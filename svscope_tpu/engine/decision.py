@@ -17,6 +17,7 @@ import numpy as np
 
 from ..models.mixture import em_cluster
 from ..ops.poa import poa
+from ..native.poa import poa_native
 from ..utils import seq as sq
 from .datamaker import WindowData
 
@@ -65,7 +66,7 @@ def msa_feature_selection(sequences: list[str], flank_5: str, flank_3: str,
     src/DataScanner.py:204 — DELReads built from UnDELIDX; we keep IDs in
     their original order instead, which is the evident intent).
     """
-    _, msa = poa(sequences, 1)
+    _, msa = poa_native(sequences)
     enc = np.stack([sq.encode(row) for row in msa])
     flank_cols = call_margin(msa[0], flank_5, flank_3)
     keep_cols = np.setdiff1d(np.arange(enc.shape[1]), flank_cols)
@@ -108,10 +109,10 @@ def decision(win: WindowData, t_label: str = "tumor", readcutoff: int = 3,
     som_seqs, germ_seqs = [], []
     for idx in som_idx:
         rows = [sq.decode(enc[i + 1]) for i in idx]
-        som_seqs.append(poa(rows, 1)[0] if max(map(len, rows)) > 0 else "-")
+        som_seqs.append(poa_native(rows)[0] if max(map(len, rows)) > 0 else "-")
     for idx in germ_idx:
         rows = [sq.decode(enc[i + 1]) for i in idx]
-        germ_seqs.append(poa(rows, 1)[0] if max(map(len, rows)) > 0 else "-")
+        germ_seqs.append(poa_native(rows)[0] if max(map(len, rows)) > 0 else "-")
     if som_seqs and germ_idx:
         record = [chrom, start, end,
                   ";".join(som_seqs),
@@ -138,19 +139,28 @@ def tdscope(record: str, make_data, make_data2, decide) -> list:
     parts = record.strip().split("\t")
     svtype = parts[3].split(",")[0] if len(parts) > 3 else ""
     if result[-1].split("|")[-1] != "EMOutput" and svtype == "DUP":
-        corner5, corner3 = make_data2(record)
-        r5 = decide(corner5)
-        if r5[-1].split("|")[-1] == "EMOutput":
-            return r5
-        r3 = decide(corner3)
-        if r3[-1].split("|")[-1] == "EMOutput":
-            return r3
-        new5 = [x for x in np.setdiff1d(corner5.read_ids, win.read_ids)
-                if "_tumor" in x]
-        new3 = [x for x in np.setdiff1d(corner3.read_ids, win.read_ids)
-                if "_tumor" in x]
-        if len(new5) >= 3:
-            result[-1] = corner5.flag
-        elif len(new3) >= 3:
-            result[-1] = corner3.flag
+        result = dup_rescue(result, win, record, make_data2, decide)
+    return result
+
+
+def dup_rescue(result: list, win: WindowData, record: str, make_data2,
+               decide) -> list:
+    """The DUP corner re-scan half of TDscope (src/SomTDDetector.py:41-58):
+    retry both 50 bp corner windows; failing that, flag the window when >=3
+    new tumor reads appear in a corner."""
+    corner5, corner3 = make_data2(record)
+    r5 = decide(corner5)
+    if r5[-1].split("|")[-1] == "EMOutput":
+        return r5
+    r3 = decide(corner3)
+    if r3[-1].split("|")[-1] == "EMOutput":
+        return r3
+    new5 = [x for x in np.setdiff1d(corner5.read_ids, win.read_ids)
+            if "_tumor" in x]
+    new3 = [x for x in np.setdiff1d(corner3.read_ids, win.read_ids)
+            if "_tumor" in x]
+    if len(new5) >= 3:
+        result[-1] = corner5.flag
+    elif len(new3) >= 3:
+        result[-1] = corner3.flag
     return result

@@ -32,9 +32,11 @@ from ..io.bam import BamReader
 from ..io.fasta import FastaFile
 from ..models.mixture import em_cluster_batch
 from ..ops.poa import poa
+from ..ops.poa_batch import poa_msa_batch
 from ..utils import seq as sq
 from .datamaker import WindowData, data_maker, data_maker2
-from .decision import decision, msa_feature_selection, tdscope
+from .decision import (call_margin, decision, dup_rescue,
+                       find_non_same_site)
 
 log = logging.getLogger("svscope_tpu.localgraph")
 
@@ -43,50 +45,124 @@ def raw_bed_name(t_ids: list[str], n_ids: list[str]) -> str:
     return "%s.vs.%s.TandemRepeat.Raw.bed" % ("-".join(t_ids), "-".join(n_ids))
 
 
-def _emit_record(win: WindowData, em_result, enc, read_ids,
-                 t_label="tumor", readcutoff=3) -> list:
-    """Phase C for one window given its EM result (labels etc.)."""
-    parts = win.record.strip().split("\t")
-    chrom, start, end = parts[0], parts[1], parts[2]
-    record = [chrom, start, end, "-", "-", 0, "-", "-", 0, win.flag]
-    if em_result is None:
-        return record
-    K, _, labels, theta, gamma, pi, bics = em_result
-    tags = np.array([x.split("|")[0].split("_")[-1] for x in read_ids])
-    som_idx, germ_idx = [], []
-    for L in np.unique(labels):
-        members = np.flatnonzero(labels == L)
-        mtags = np.unique(tags[members])
-        if mtags.shape[0] == 1 and mtags[0] == t_label and members.size >= readcutoff:
-            som_idx.append(members)
-        elif members.size >= readcutoff:
-            germ_idx.append(members)
-    som_seqs, germ_seqs = [], []
-    for idx in som_idx:
-        rows = [sq.decode(enc[i + 1]) for i in idx]
-        som_seqs.append(poa(rows, 1)[0] if max(map(len, rows)) > 0 else "-")
-    for idx in germ_idx:
-        rows = [sq.decode(enc[i + 1]) for i in idx]
-        germ_seqs.append(poa(rows, 1)[0] if max(map(len, rows)) > 0 else "-")
-    if som_seqs and germ_idx:
-        record = [chrom, start, end,
-                  ";".join(som_seqs),
-                  ";".join(",".join(read_ids[i] for i in idx) for idx in som_idx),
-                  len(som_seqs),
-                  ";".join(germ_seqs),
-                  ";".join(",".join(read_ids[i] for i in idx) for idx in germ_idx),
-                  len(germ_seqs),
-                  win.flag + "|EMOutput"]
-    return record
+def _passes_gates(win: WindowData, t_label: str = "tumor") -> bool:
+    """Decision's entry gates (src/DecisionMaker.py:126-134)."""
+    tags = np.array([x.split("|")[0].split("_")[-1] for x in win.read_ids])
+    if tags.size == 0:
+        return False
+    uniq, cnt = np.unique(tags, return_counts=True)
+    return (len(win.sequences) > 3 and uniq.shape[0] >= 2 and cnt.min() >= 3)
+
+
+def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa):
+    """Phase C: label clusters, batch all consensus POAs in one device
+    round set, emit 10-column records."""
+    jobs = []        # consensus sequence lists across all windows
+    job_ref = []     # (window index, 'som'|'germ', position)
+    parsed = []
+    for wi, ((win, enc, read_ids, feat), em) in enumerate(
+            zip(ready, em_results)):
+        K, _, labels, theta, gamma, pi, bics = em
+        tags = np.array([x.split("|")[0].split("_")[-1] for x in read_ids])
+        som_idx, germ_idx = [], []
+        for L in np.unique(labels):
+            members = np.flatnonzero(labels == L)
+            mtags = np.unique(tags[members])
+            if (mtags.shape[0] == 1 and mtags[0] == t_label
+                    and members.size >= readcutoff):
+                som_idx.append(members)
+            elif members.size >= readcutoff:
+                germ_idx.append(members)
+        som_rows = [[sq.decode(enc[i + 1]) for i in idx] for idx in som_idx]
+        germ_rows = [[sq.decode(enc[i + 1]) for i in idx] for idx in germ_idx]
+        for pos, rws in enumerate(som_rows):
+            if max(map(len, rws)) > 0:
+                job_ref.append((wi, "som", pos))
+                jobs.append(rws)
+        for pos, rws in enumerate(germ_rows):
+            if max(map(len, rws)) > 0:
+                job_ref.append((wi, "germ", pos))
+                jobs.append(rws)
+        parsed.append((win, read_ids, som_idx, germ_idx,
+                       ["-"] * len(som_idx), ["-"] * len(germ_idx)))
+    cons_out = poa_msa_batch(jobs, use_device=device_poa) if jobs else []
+    for (wi, kind, pos), (cons, _msa) in zip(job_ref, cons_out):
+        if kind == "som":
+            parsed[wi][4][pos] = cons
+        else:
+            parsed[wi][5][pos] = cons
+    out = []
+    for win, read_ids, som_idx, germ_idx, som_seqs, germ_seqs in parsed:
+        parts = win.record.strip().split("\t")
+        record = [parts[0], parts[1], parts[2], "-", "-", 0, "-", "-", 0,
+                  win.flag]
+        if som_idx and germ_idx and som_seqs:
+            record = [parts[0], parts[1], parts[2],
+                      ";".join(som_seqs),
+                      ";".join(",".join(read_ids[i] for i in idx)
+                               for idx in som_idx),
+                      len(som_seqs),
+                      ";".join(germ_seqs),
+                      ";".join(",".join(read_ids[i] for i in idx)
+                               for idx in germ_idx),
+                      len(germ_seqs),
+                      win.flag + "|EMOutput"]
+        out.append(record)
+    return out
+
+
+def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
+                         readcutoff: int = 3, hcutoff: int = 3,
+                         scutoff: float = 0.05, em_dtype=None,
+                         device_poa: bool = False) -> list[list]:
+    """Batched Decision over prepared window payloads: gates -> batched POA
+    MSA -> feature selection -> batched EM -> labeling + batched consensus.
+    Row-for-row equivalent to decision() over each window (tested)."""
+    entries = []     # [win, state]; state None=base | ready-index
+    msa_jobs = []
+    pending = []
+    for win in wins:
+        if _passes_gates(win, t_label):
+            pending.append(len(entries))
+            msa_jobs.append(win.sequences)
+        entries.append([win, None])
+    msa_out = poa_msa_batch(msa_jobs, use_device=device_poa) \
+        if msa_jobs else []
+    ready = []
+    for ei, (_cons, msa) in zip(pending, msa_out):
+        win, _ = entries[ei]
+        enc = np.stack([sq.encode(r) for r in msa])
+        flank_cols = call_margin(msa[0], win.flank_5, win.flank_3)
+        keep_cols = np.setdiff1d(np.arange(enc.shape[1]), flank_cols)
+        td_raw = enc[1:, keep_cols]
+        cutoff = max(hcutoff, enc.shape[0] * scutoff)
+        feat = td_raw[:, find_non_same_site(td_raw, cutoff)]
+        if feat.shape[0] != 0 and feat.shape[1] >= 10:
+            entries[ei][1] = len(ready)
+            ready.append((win, enc, win.read_ids, feat))
+    feats = [feat for (_, _, _, feat) in ready]
+    kwargs = {} if em_dtype is None else {"dtype": em_dtype}
+    em_results = em_cluster_batch(feats, **kwargs) if feats else []
+    emitted = _emit_chunk(ready, em_results, t_label, readcutoff, device_poa)
+    records = []
+    for win, state in entries:
+        if state is None:
+            parts = win.record.strip().split("\t")
+            records.append([parts[0], parts[1], parts[2],
+                            "-", "-", 0, "-", "-", 0, win.flag])
+        else:
+            records.append(emitted[state])
+    return records
 
 
 def run_local_graph(window_records: list[str], reference: str,
                     tumor_bams: list[str], normal_bams: list[str],
                     t_ids: list[str], n_ids: list[str], savedir: str,
-                    offset: int = 50, mapq: int = 5, batch_size: int = 64,
+                    offset: int = 50, mapq: int = 5, batch_size: int = 256,
                     continue_run: bool = False, em_dtype=None,
                     t_label: str = "tumor", readcutoff: int = 3,
-                    hcutoff: int = 3, scutoff: float = 0.05) -> str:
+                    hcutoff: int = 3, scutoff: float = 0.05,
+                    device_poa: bool | None = None) -> str:
     """Batched localGraph (src/SVscope.py:118-183 equivalent)."""
     os.makedirs(savedir, exist_ok=True)
     out_path = os.path.join(savedir, raw_bed_name(t_ids, n_ids))
@@ -105,42 +181,28 @@ def run_local_graph(window_records: list[str], reference: str,
     ref = FastaFile(reference)
     readers = [BamReader(p) for p in tumor_bams + normal_bams]
     labels = [f"{t}_tumor" for t in t_ids] + [f"{n}_normal" for n in n_ids]
+    device_poa = bool(device_poa)   # host C++ POA is the default engine
     rows: list[list] = []
     t0 = time.time()
+    make_data2 = lambda r: data_maker2(r, ref, readers, labels,
+                                       offset=offset, mapq=mapq)
+    decide_seq = lambda w: decision(w, t_label, readcutoff, hcutoff, scutoff,
+                                    em_dtype=em_dtype)
     for off in range(0, len(todo), batch_size):
         chunk = todo[off:off + batch_size]
-        # Phase A: extract + MSA + feature-select on host
-        ready = []       # (win, enc, read_ids, feat)
-        for rec in chunk:
-            win = data_maker(rec, ref, readers, labels, offset=offset, mapq=mapq)
+        wins = [data_maker(rec, ref, readers, labels, offset=offset,
+                           mapq=mapq) for rec in chunk]
+        records = process_window_batch(
+            wins, t_label=t_label, readcutoff=readcutoff, hcutoff=hcutoff,
+            scutoff=scutoff, em_dtype=em_dtype, device_poa=device_poa)
+        for rec, win, record in zip(chunk, wins, records):
+            # DUP corner rescue on any non-EMOutput result
+            # (src/SomTDDetector.py:41-58; trigger column replicated)
             parts = rec.strip().split("\t")
             svtype = parts[3].split(",")[0] if len(parts) > 3 else ""
-            prep = _prepare_decision(win, hcutoff, scutoff, t_label)
-            if prep is None and svtype == "DUP":
-                # DUP corner rescue (src/SomTDDetector.py:41-58) via the
-                # sequential path; dormant in the production flow
-                make_data = lambda r: win
-                make_data2 = lambda r: data_maker2(r, ref, readers, labels,
-                                                   offset=offset, mapq=mapq)
-                decide = lambda w: decision(w, t_label, readcutoff, hcutoff,
-                                            scutoff, em_dtype=em_dtype)
-                rows.append(tdscope(rec, make_data, make_data2, decide))
-                continue
-            ready.append((win, prep))
-        # Phase B: batched EM on device
-        feats = [p[3] for (w, p) in ready if p is not None]
-        kwargs = {} if em_dtype is None else {"dtype": em_dtype}
-        em_results = iter(em_cluster_batch(feats, **kwargs) if feats else [])
-        # Phase C: emit
-        for win, prep in ready:
-            if prep is None:
-                parts = win.record.strip().split("\t")
-                rows.append([parts[0], parts[1], parts[2],
-                             "-", "-", 0, "-", "-", 0, win.flag])
-            else:
-                enc, feat, read_ids, _ = prep[0], prep[3], prep[2], None
-                rows.append(_emit_record(win, next(em_results), prep[0],
-                                         prep[2], t_label, readcutoff))
+            if record[-1].split("|")[-1] != "EMOutput" and svtype == "DUP":
+                record = dup_rescue(record, win, rec, make_data2, decide_seq)
+            rows.append(record)
         log.info("localGraph: %d/%d windows, %.1fs", off + len(chunk),
                  len(todo), time.time() - t0)
     out_rows = existing + ["\t".join(str(x) for x in r) for r in rows]
@@ -153,19 +215,3 @@ def run_local_graph(window_records: list[str], reference: str,
     return out_path
 
 
-def _prepare_decision(win: WindowData, hcutoff, scutoff, t_label):
-    """Phase-A part of Decision: gates + MSA + feature selection.
-
-    Returns (enc, feat_sel, read_ids, feat) or None when the window fails a
-    gate (base record should be emitted with its flag)."""
-    tags = np.array([x.split("|")[0].split("_")[-1] for x in win.read_ids])
-    uniq, cnt = (np.unique(tags, return_counts=True) if tags.size
-                 else (np.array([]), np.array([])))
-    if not (len(win.sequences) > 3 and uniq.shape[0] >= 2 and cnt.min() >= 3):
-        return None
-    enc, feat, read_ids = msa_feature_selection(
-        win.sequences, win.flank_5, win.flank_3, win.read_ids,
-        hcutoff=hcutoff, scutoff=scutoff)
-    if feat.shape[0] == 0 or feat.shape[1] < 10:
-        return None
-    return (enc, None, read_ids, feat)

@@ -1,0 +1,140 @@
+"""ctypes bindings for the native POA engine (native/poa_engine.cpp).
+
+NativePoaGraph mirrors ops/poa.PoaGraph's build/align/fuse/pack/MSA/
+consensus surface with identical semantics; `poa_native(sequences)` is the
+drop-in spoa-equivalent entry point.  The device round driver
+(ops/poa_batch.py) uses these graphs for packing and fusion so the per-read
+bookkeeping runs at C++ speed.
+"""
+from __future__ import annotations
+
+import ctypes as ct
+import threading
+
+import numpy as np
+
+from . import ensure_libpoa
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def lib():
+    """Thread-safe lazy CDLL load.
+
+    The handle is published only after every restype/argtype is configured —
+    a partially configured library seen from another thread would truncate
+    the 64-bit graph handle via the default int restype."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        l = ct.CDLL(ensure_libpoa())
+        l.poa_create.restype = ct.c_void_p
+        l.poa_free.argtypes = [ct.c_void_p]
+        l.poa_n_nodes.argtypes = [ct.c_void_p]
+        l.poa_n_seqs.argtypes = [ct.c_void_p]
+        l.poa_max_indegree.argtypes = [ct.c_void_p]
+        l.poa_add_sequence.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int]
+        l.poa_align_only.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int,
+                                     ct.POINTER(ct.c_int32),
+                                     ct.POINTER(ct.c_int32)]
+        l.poa_fuse.argtypes = [ct.c_void_p, ct.POINTER(ct.c_int32),
+                               ct.POINTER(ct.c_int32), ct.c_int,
+                               ct.c_char_p]
+        l.poa_pack.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
+                               ct.POINTER(ct.c_uint8),
+                               ct.POINTER(ct.c_int32),
+                               ct.POINTER(ct.c_uint8),
+                               ct.POINTER(ct.c_int32)]
+        l.poa_msa.argtypes = [ct.c_void_p, ct.c_int, ct.POINTER(ct.c_uint8)]
+        l.poa_consensus.argtypes = [ct.c_void_p, ct.c_int,
+                                    ct.POINTER(ct.c_uint8)]
+        _lib = l
+    return _lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ct.POINTER(ct.c_int32))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ct.POINTER(ct.c_uint8))
+
+
+class NativePoaGraph:
+    def __init__(self):
+        self._lib = lib()
+        self._h = self._lib.poa_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.poa_free(self._h)
+            self._h = None
+
+    def n_nodes(self) -> int:
+        return self._lib.poa_n_nodes(self._h)
+
+    def n_seqs(self) -> int:
+        return self._lib.poa_n_seqs(self._h)
+
+    def max_indegree(self) -> int:
+        return self._lib.poa_max_indegree(self._h)
+
+    def add_sequence(self, seq: str) -> None:
+        b = seq.encode()
+        self._lib.poa_add_sequence(self._h, b, len(b))
+
+    def align_only(self, seq: str):
+        b = seq.encode()
+        cap = self.n_nodes() + len(b) + 2
+        nodes = np.empty(cap, np.int32)
+        spos = np.empty(cap, np.int32)
+        n = self._lib.poa_align_only(self._h, b, len(b), _i32p(nodes),
+                                     _i32p(spos))
+        return [(int(nodes[k]), int(spos[k])) for k in range(n)]
+
+    def fuse(self, aln, seq: str) -> None:
+        n = len(aln)
+        nodes = np.array([a for a, _ in aln], np.int32)
+        spos = np.array([s for _, s in aln], np.int32)
+        self._lib.poa_fuse(self._h, _i32p(nodes), _i32p(spos), n, seq.encode())
+
+    def pack(self, n_max: int, p_max: int = 8):
+        chars = np.zeros(n_max, np.uint8)
+        preds = np.full((n_max, p_max), -1, np.int32)
+        sinks = np.zeros(n_max, np.uint8)
+        nor = np.full(n_max, -1, np.int32)
+        n = self._lib.poa_pack(self._h, n_max, p_max, _u8p(chars),
+                               _i32p(preds), _u8p(sinks), _i32p(nor))
+        if n < 0:
+            return None
+        return chars, preds, sinks.astype(bool), np.int32(n), nor
+
+    def msa(self, max_cols: int = 1 << 20) -> list[str]:
+        ns = self.n_seqs()
+        if ns == 0:
+            return []
+        out = np.zeros(ns * max_cols, np.uint8)
+        ncol = self._lib.poa_msa(self._h, max_cols, _u8p(out))
+        if ncol < 0:
+            raise RuntimeError("MSA wider than buffer")
+        rows = out[:ns * ncol].reshape(ns, ncol)
+        return [r.tobytes().decode() for r in rows]
+
+    def consensus(self, cap: int = 1 << 20) -> str:
+        out = np.zeros(cap, np.uint8)
+        n = self._lib.poa_consensus(self._h, cap, _u8p(out))
+        if n < 0:
+            raise RuntimeError("consensus longer than buffer")
+        return out[:n].tobytes().decode()
+
+
+def poa_native(sequences: list[str]):
+    """spoa-equivalent poa(sequences, 1) through the C++ engine."""
+    g = NativePoaGraph()
+    for s in sequences:
+        g.add_sequence(s)
+    return g.consensus(), g.msa()

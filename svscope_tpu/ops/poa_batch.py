@@ -1,0 +1,119 @@
+"""Batched multi-window POA MSA.
+
+Two execution modes, identical results (both are parity-exact with
+ops/poa.poa, the spoa-semantics reference — tested):
+
+  * host mode: the C++ engine (svscope_tpu/native) aligns each window's
+    reads directly; windows fan out over a thread pool (ctypes releases the
+    GIL during alignment).
+  * device mode: round r aligns the r-th read of EVERY window in one
+    `ops.poa_device.align_batch` call (windows bucketed by node-count x
+    read-length); the C++ engine does the graph packing and alignment
+    fusion between rounds.  This is the TPU scaling path — window count,
+    not core count, is the parallel axis.
+
+Windows exceeding the largest bucket (nodes, length, in-degree) fall back
+to host alignment transparently.
+"""
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..native.poa import NativePoaGraph, poa_native
+from . import poa_device as pdev
+
+log = logging.getLogger("svscope_tpu.poa_batch")
+
+N_LADDER = (128, 256, 512, 1024, 2048)
+L_LADDER = (64, 128, 256, 512, 1024, 2048)
+B_LADDER = (8, 32, 128, 256)
+MAX_BATCH = 256
+HOST_THREADS = 8
+
+
+def _bucket(x, ladder):
+    for b in ladder:
+        if x <= b:
+            return b
+    return None
+
+
+def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False):
+    """spoa-equivalent poa(seqs, 1) over many windows.
+
+    Returns [(consensus, msa_rows)] per window."""
+    if not use_device:
+        if len(seq_lists) > 1:
+            from ..native.poa import lib
+            lib()  # initialize the CDLL before fanning out threads
+            with ThreadPoolExecutor(max_workers=HOST_THREADS) as ex:
+                return list(ex.map(poa_native, seq_lists))
+        return [poa_native(s) for s in seq_lists]
+    graphs = [NativePoaGraph() for _ in seq_lists]
+    host_only = [False] * len(seq_lists)
+    max_rounds = max((len(s) for s in seq_lists), default=0)
+    for r in range(max_rounds):
+        items = []
+        for w, seqs in enumerate(seq_lists):
+            if r >= len(seqs):
+                continue
+            seq = seqs[r]
+            g = graphs[w]
+            if len(seq) == 0 or g.n_nodes() == 0 or host_only[w]:
+                g.add_sequence(seq)
+                continue
+            items.append((w, seq))
+        if items:
+            _device_round(graphs, items, host_only)
+    return [(g.consensus(), g.msa()) for g in graphs]
+
+
+def _device_round(graphs, items, host_only):
+    """One round: bucket (window, seq) pairs, device-align, C++ fuse."""
+    buckets: dict[tuple[int, int], list[tuple[int, str, tuple]]] = {}
+    for w, seq in items:
+        g = graphs[w]
+        nb = _bucket(g.n_nodes(), N_LADDER)
+        lb = _bucket(len(seq), L_LADDER)
+        packed = None
+        if nb is not None and lb is not None:
+            packed = g.pack(nb, pdev.MAX_PREDS)
+        if packed is None:
+            host_only[w] = True
+            g.add_sequence(seq)
+            continue
+        buckets.setdefault((nb, lb), []).append((w, seq, packed))
+    for (nb, lb), group in buckets.items():
+        for off in range(0, len(group), MAX_BATCH):
+            chunk = group[off:off + MAX_BATCH]
+            b_pad = _bucket(len(chunk), B_LADDER) or len(chunk)
+            chars = np.zeros((b_pad, nb), np.uint8)
+            preds = np.full((b_pad, nb, pdev.MAX_PREDS), -1, np.int32)
+            sinks = np.zeros((b_pad, nb), bool)
+            nn = np.zeros(b_pad, np.int32)
+            seqs = np.zeros((b_pad, lb), np.uint8)
+            lens = np.zeros(b_pad, np.int32)
+            for bi, (w, seq, (c, p, s, n, nor)) in enumerate(chunk):
+                chars[bi], preds[bi], sinks[bi], nn[bi] = c, p, s, n
+                seqs[bi, :len(seq)] = np.frombuffer(seq.encode(), np.uint8)
+                lens[bi] = len(seq)
+            if len(chunk) < b_pad:       # batch padding: replicate row 0
+                chars[len(chunk):] = chars[0]
+                preds[len(chunk):] = preds[0]
+                sinks[len(chunk):] = sinks[0]
+                nn[len(chunk):] = nn[0]
+                seqs[len(chunk):] = seqs[0]
+                lens[len(chunk):] = lens[0]
+            an, asp, ke, _sc = pdev.align_batch(
+                jnp.asarray(chars), jnp.asarray(preds), jnp.asarray(sinks),
+                jnp.asarray(nn), jnp.asarray(seqs), jnp.asarray(lens), lb)
+            an = np.array(an)
+            asp = np.array(asp)
+            ke = np.array(ke)
+            for bi, (w, seq, (c, p, s, n, nor)) in enumerate(chunk):
+                aln = pdev.unpack_alignment(an[bi], asp[bi], int(ke[bi]), nor)
+                graphs[w].fuse(aln, seq)
