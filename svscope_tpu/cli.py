@@ -146,6 +146,24 @@ def cmd_call_somatic_sv(args):
     return merged
 
 
+def cmd_viz(args):
+    from .viz.scopeviz import draw_pipe
+    w = args.window
+    if ":" in w:
+        chrom, span = w.split(":")
+        start, end = span.split("-")
+        record = f"{chrom}\t{start}\t{end}"
+    else:
+        record = w
+    out = draw_pipe(record, args.Reference, args.Tumorbam.split(","),
+                    args.Normalbam.split(","), args.TSampleID.split(","),
+                    args.NSampleID.split(","), args.savedir,
+                    offset=args.offset, mapq=args.mapQ,
+                    graph=not args.no_graph)
+    log.info("viz: %s", out)
+    return out
+
+
 def cmd_adjust_vcf(args):
     from .out.adjust import adjust_vcf
     out = adjust_vcf(args.savedir)
@@ -220,6 +238,14 @@ def main(argv=None):
     p = sub.add_parser("adjustVCF")
     p.add_argument("-s", "--savedir", required=True)
     p.set_defaults(func=cmd_adjust_vcf)
+
+    p = sub.add_parser("viz", help="per-window diagnostic figure "
+                       "(ScopeVIZ equivalent)")
+    p.add_argument("-w", "--window", required=True,
+                   help="window as chrom:start-end or chrom<TAB>start<TAB>end")
+    _common_bam_args(p, window_bed=False)
+    p.add_argument("--no-graph", action="store_true", default=False)
+    p.set_defaults(func=cmd_viz)
 
     args = parser.parse_args(argv)
     if hasattr(args, "func"):

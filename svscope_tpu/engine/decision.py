@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models.mixture import em_cluster
+from ..models.mixture import em_cluster_batch
 from ..ops.poa import poa
 from ..native.poa import poa_native
 from ..utils import seq as sq
@@ -96,7 +96,7 @@ def decision(win: WindowData, t_label: str = "tumor", readcutoff: int = 3,
     kwargs = dict(em_kwargs or {})
     if em_dtype is not None:
         kwargs["dtype"] = em_dtype
-    K, _, labels, theta, gamma, pi, bics = em_cluster(feat, **kwargs)
+    K, _, labels, theta, gamma, pi, bics = em_cluster_batch([feat], **kwargs)[0]
     som_idx, germ_idx = [], []
     for L in np.unique(labels):
         members = np.flatnonzero(labels == L)

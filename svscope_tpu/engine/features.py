@@ -119,9 +119,11 @@ def call_allele_freq(som_reads_field: str, germ_reads_field: str) -> str:
     return ";".join(str(c / n) for c in som_counts)
 
 
-def misscore_pipe(raw_bed_path: str) -> pd.DataFrame:
+def misscore_pipe(raw_bed_path: str, use_device: bool | None = None
+                  ) -> pd.DataFrame:
     """MisScorePipe (src/PairwiseCompare.py:76-86): per
-    'NormalOutput|EMOutput' row, MisScore + AF."""
+    'NormalOutput|EMOutput' row, MisScore + AF.  On TPU the som x germ
+    alignment stats run through the batched NW kernel (ops/nw_batch)."""
     df = pd.read_csv(raw_bed_path, sep="\t", header=None, names=RAW_COLS)
     som = df[df.Label == "NormalOutput|EMOutput"].copy()
     out_cols = ["chrom", "start", "end", "window", "somSupportReadID",
@@ -130,9 +132,25 @@ def misscore_pipe(raw_bed_path: str) -> pd.DataFrame:
         return pd.DataFrame(columns=out_cols)
     som["window"] = (som.chrom + "_" + som.start.astype(str) + "-"
                      + som.end.astype(str))
-    som["MisScore"] = [
-        calculate_misscore(s.split(";"), g.split(";"))
-        for s, g in zip(som.SomSeq, som.GermSeq)]
+    if use_device is None:
+        import jax
+        use_device = jax.default_backend() not in ("cpu",)
+    if use_device:
+        from ..ops.nw import pick_misscore
+        from ..ops.nw_batch import misscore_batch
+        pairs, spans = [], []
+        for s, g in zip(som.SomSeq, som.GermSeq):
+            row_pairs = [(a, b) for a in s.split(";") for b in g.split(";")]
+            spans.append((len(pairs), len(row_pairs)))
+            pairs.extend(row_pairs)
+        raw = misscore_batch(pairs)
+        signed = [int(raw[i]) if len(pairs[i][0]) >= len(pairs[i][1])
+                  else -int(raw[i]) for i in range(len(pairs))]
+        som["MisScore"] = [pick_misscore(signed[o:o + n]) for o, n in spans]
+    else:
+        som["MisScore"] = [
+            calculate_misscore(s.split(";"), g.split(";"))
+            for s, g in zip(som.SomSeq, som.GermSeq)]
     som["AF"] = [call_allele_freq(s, g)
                  for s, g in zip(som.SomReads, som.GermReads)]
     som = som.rename(columns={"SomReads": "somSupportReadID",

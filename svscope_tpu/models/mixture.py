@@ -31,6 +31,10 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..utils.jaxcfg import enable_cache
+
+enable_cache()
 from scipy.cluster.hierarchy import linkage, fcluster
 
 ALPHA = 5          # alphabet size {A,T,C,G,-}

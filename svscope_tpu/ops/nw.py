@@ -65,15 +65,25 @@ def alignment_misscore(som: str, germ: str) -> int:
     return align_len - matches
 
 
+def pick_misscore(scores: list[int]) -> int:
+    """min-|.| with the reference's tie rule: smaller_absolute_value(old,
+    new) keeps old only when strictly smaller, so ties go to the LATER pair
+    (src/PairwiseCompare.py:32-36, 54-64)."""
+    best = None
+    for sc in scores:
+        if best is None or not (abs(best) < abs(sc)):
+            best = sc
+    return int(best)
+
+
 def calculate_misscore(som_seqs: list[str], germ_seqs: list[str]) -> int:
     """CalculateMisscore (src/PairwiseCompare.py:54-64): min-|.| over all
     som x germ pairs; negative when the somatic consensus is shorter."""
-    best = None
+    scores = []
     for s in som_seqs:
         for g in germ_seqs:
             sc = alignment_misscore(s, g)
             if len(s) < len(g):
                 sc = -sc
-            if best is None or abs(sc) < abs(best):
-                best = sc
-    return int(best)
+            scores.append(sc)
+    return pick_misscore(scores)

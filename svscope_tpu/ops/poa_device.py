@@ -34,6 +34,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.jaxcfg import enable_cache
+
+enable_cache()
+
 from .poa import PoaGraph
 
 MATCH = 5

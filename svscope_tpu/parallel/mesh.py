@@ -23,8 +23,15 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..utils.jaxcfg import enable_cache
+
+enable_cache()
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..models.mixture import ALPHA, MAX_K, NSTEP, EPS, NEG_BIG
 
