@@ -32,6 +32,9 @@ struct Table {
   std::vector<uint32_t> cigar_off;  // offsets into cigars (n+1 entries)
   std::string cigars;
   std::string error;
+  // lazy record access: decompressed stream + per-record offsets
+  std::string data;
+  std::vector<uint64_t> rec_off;
 };
 
 bool bgzf_inflate(const uint8_t* data, size_t n, std::string& out) {
@@ -78,9 +81,9 @@ const char kCigarOps[] = "MIDNSHP=X";
 const bool kRefConsume[9] = {true, false, true, true, false,
                              false, false, true, true};
 
-Table* parse_bam(const uint8_t* raw, size_t rawlen) {
+Table* parse_bam(const uint8_t* raw, size_t rawlen, bool keep_data) {
   auto* t = new Table();
-  std::string data;
+  std::string& data = t->data;
   if (!bgzf_inflate(raw, rawlen, data)) {
     t->error = "bad BGZF stream";
     return t;
@@ -124,6 +127,7 @@ Table* parse_bam(const uint8_t* raw, size_t rawlen) {
     uint16_t flag;
     memcpy(&flag, data.data() + rec + 14, 2);
     if (ref_id < 0 || (flag & 0x4)) continue;  // unmapped
+    t->rec_off.push_back(rec);
     t->ref_id.push_back(ref_id);
     t->start.push_back(pos);
     t->mapq.push_back(mapq);
@@ -145,15 +149,48 @@ Table* parse_bam(const uint8_t* raw, size_t rawlen) {
     t->cigar_off.push_back((uint32_t)t->cigars.size());
     t->end.push_back(pos + ref_span);
   }
+  if (!keep_data) {
+    t->data.clear();
+    t->data.shrink_to_fit();
+    t->rec_off.clear();
+  }
   return t;
 }
+
+const char kSeqNt16[] = "=ACMGRSVTWYHKDBN";
 
 }  // namespace
 
 extern "C" {
 
 void* bam_scan_open(const uint8_t* raw, int64_t rawlen) {
-  return parse_bam(raw, (size_t)rawlen);
+  return parse_bam(raw, (size_t)rawlen, false);
+}
+
+// keep the decompressed stream for lazy per-record sequence access
+void* bam_scan_open_lazy(const uint8_t* raw, int64_t rawlen) {
+  return parse_bam(raw, (size_t)rawlen, true);
+}
+
+// decode record idx's sequence (soft clips included); returns length or -1
+int64_t bam_scan_record_seq(void* h, int64_t idx, char* out, int64_t cap) {
+  Table* t = (Table*)h;
+  if (t->data.empty() || idx < 0 || idx >= (int64_t)t->rec_off.size())
+    return -1;
+  const char* rec = t->data.data() + t->rec_off[idx];
+  uint8_t l_read_name = (uint8_t)rec[8];
+  uint16_t n_cigar;
+  memcpy(&n_cigar, rec + 12, 2);
+  int32_t l_seq;
+  memcpy(&l_seq, rec + 16, 4);
+  if (l_seq > cap) return -1;
+  const uint8_t* packed =
+      (const uint8_t*)rec + 32 + l_read_name + 4ull * n_cigar;
+  for (int32_t k = 0; k < l_seq; k++) {
+    uint8_t code = (k & 1) ? (packed[k >> 1] & 0xF) : (packed[k >> 1] >> 4);
+    out[k] = kSeqNt16[code];
+  }
+  return l_seq;
 }
 
 void bam_scan_free(void* h) { delete (Table*)h; }

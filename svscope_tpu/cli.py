@@ -96,13 +96,13 @@ def cmd_local_graph(args):
         records, args.Reference, args.Tumorbam.split(","),
         args.Normalbam.split(","), args.TSampleID.split(","),
         args.NSampleID.split(","), args.savedir, offset=args.offset,
-        mapq=args.mapQ, continue_run=args.Continue, em_dtype=_em_dtype(args))
+        mapq=args.mapQ, continue_run=args.Continue, em_dtype=_em_dtype(args),
+        device_poa=getattr(args, "device_poa", False))
 
 
 def cmd_local_graph_npz(args):
     from .engine.localgraph import raw_bed_name
     from .engine.npz import load_window_data
-    from .engine.decision import decision
     t_ids = args.TSampleID.split(",")
     n_ids = args.NSampleID.split(",")
     out_path = os.path.join(args.savedir, raw_bed_name(t_ids, n_ids))
@@ -118,7 +118,9 @@ def cmd_local_graph_npz(args):
     wins = [w for w in load_window_data(args.savedir)
             if ":".join(w.record.strip().split("\t")[0:3]) not in done]
     for off in range(0, len(wins), 256):
-        for rec in process_window_batch(wins[off:off + 256], em_dtype=dtype):
+        for rec in process_window_batch(wins[off:off + 256], em_dtype=dtype,
+                                        device_poa=getattr(args, "device_poa",
+                                                           False)):
             rows.append("\t".join(str(x) for x in rec))
     rows.sort(key=lambda l: (l.split("\t")[0], int(l.split("\t")[1])))
     with open(out_path, "w") as f:
@@ -181,6 +183,9 @@ def cmd_adjust_vcf(args):
 def _common_bam_args(p, window_bed=True):
     if window_bed:
         p.add_argument("-w", "--windowBed", required=True)
+    p.add_argument("--device-poa", action="store_true", default=False,
+                   help="run POA alignment rounds on the TPU instead of "
+                        "the host C++ engine")
     p.add_argument("-T", "--Tumorbam", required=True)
     p.add_argument("-N", "--Normalbam", required=True)
     p.add_argument("-t", "--TSampleID", required=True)

@@ -31,7 +31,6 @@ import numpy as np
 from ..io.bam import BamReader
 from ..io.fasta import FastaFile
 from ..models.mixture import em_cluster_batch
-from ..ops.poa import poa
 from ..ops.poa_batch import poa_msa_batch
 from ..utils import seq as sq
 from .datamaker import WindowData, data_maker, data_maker2
@@ -39,6 +38,18 @@ from .decision import (call_margin, decision, dup_rescue,
                        find_non_same_site)
 
 log = logging.getLogger("svscope_tpu.localgraph")
+
+
+def open_bam(path: str):
+    """Lazy native-backed reader (columns in C++, sequences decoded per
+    fetch); falls back to the pure-Python reader."""
+    try:
+        from ..native.bam import LazyBamReader
+        return LazyBamReader(path)
+    except Exception as exc:
+        log.warning("native lazy BAM reader failed (%s); Python fallback",
+                    exc)
+        return BamReader(path)
 
 
 def raw_bed_name(t_ids: list[str], n_ids: list[str]) -> str:
@@ -179,7 +190,7 @@ def run_local_graph(window_records: list[str], reference: str,
     log.info("localGraph: %d windows (%d resumed)", len(todo), len(done))
 
     ref = FastaFile(reference)
-    readers = [BamReader(p) for p in tumor_bams + normal_bams]
+    readers = [open_bam(p) for p in tumor_bams + normal_bams]
     labels = [f"{t}_tumor" for t in t_ids] + [f"{n}_normal" for n in n_ids]
     device_poa = bool(device_poa)   # host C++ POA is the default engine
     rows: list[list] = []

@@ -15,7 +15,8 @@ import time
 
 import numpy as np
 
-from ..io.bam import BamReader
+from ..io.bam import BamReader  # noqa: F401
+from .localgraph import open_bam
 from ..io.fasta import FastaFile
 from .datamaker import WindowData, data_maker
 
@@ -31,7 +32,7 @@ def save_window_data(window_records, reference, tumor_bams, normal_bams,
     """Export DataMaker payloads for all windows into npz batches."""
     os.makedirs(savedir, exist_ok=True)
     ref = FastaFile(reference)
-    readers = [BamReader(p) for p in tumor_bams + normal_bams]
+    readers = [open_bam(p) for p in tumor_bams + normal_bams]
     labels = [f"{t}_tumor" for t in t_ids] + [f"{n}_normal" for n in n_ids]
     paths = []
     bufffer: list = []

@@ -38,6 +38,11 @@ def lib():
         l = ct.CDLL(LIBBAM)
         l.bam_scan_open.restype = ct.c_void_p
         l.bam_scan_open.argtypes = [ct.c_char_p, ct.c_int64]
+        l.bam_scan_open_lazy.restype = ct.c_void_p
+        l.bam_scan_open_lazy.argtypes = [ct.c_char_p, ct.c_int64]
+        l.bam_scan_record_seq.restype = ct.c_int64
+        l.bam_scan_record_seq.argtypes = [ct.c_void_p, ct.c_int64,
+                                          ct.c_char_p, ct.c_int64]
         l.bam_scan_free.argtypes = [ct.c_void_p]
         l.bam_scan_error.restype = ct.c_char_p
         l.bam_scan_error.argtypes = [ct.c_void_p]
@@ -58,6 +63,42 @@ def lib():
     return _lib
 
 
+def _extract(l, h, path):
+    err = l.bam_scan_error(h)
+    if err:
+        raise ValueError(f"{path}: {err.decode()}")
+    n = l.bam_scan_n_records(h)
+    nref = l.bam_scan_n_refs(h)
+    refs, ref_lens = [], []
+    buf = ct.create_string_buffer(4096)
+    for i in range(nref):
+        l.bam_scan_ref_name(h, i, buf, 4096)
+        refs.append(buf.value.decode())
+        ref_lens.append(int(l.bam_scan_ref_length(h, i)))
+    ref_id = np.empty(n, np.int32)
+    start = np.empty(n, np.int64)
+    end = np.empty(n, np.int64)
+    mapq = np.empty(n, np.int32)
+    flag = np.empty(n, np.int32)
+    l.bam_scan_columns(h, ref_id.ctypes.data, start.ctypes.data,
+                       end.ctypes.data, mapq.ctypes.data, flag.ctypes.data)
+    names_sz = l.bam_scan_names_size(h)
+    cig_sz = l.bam_scan_cigars_size(h)
+    names = np.empty(max(names_sz, 1), np.uint8)
+    name_off = np.empty(n + 1, np.uint32)
+    cigars = np.empty(max(cig_sz, 1), np.uint8)
+    cigar_off = np.empty(n + 1, np.uint32)
+    l.bam_scan_strings(h, names.ctypes.data, name_off.ctypes.data,
+                       cigars.ctypes.data, cigar_off.ctypes.data)
+    names_b = names.tobytes()[:names_sz]
+    cig_b = cigars.tobytes()[:cig_sz]
+    name_list = [names_b[name_off[i]:name_off[i + 1]].decode()
+                 for i in range(n)]
+    cig_list = [cig_b[cigar_off[i]:cigar_off[i + 1]].decode()
+                for i in range(n)]
+    return refs, ref_lens, ref_id, start, end, mapq, flag, name_list, cig_list
+
+
 def scan_alignment_table(path: str):
     """AlignmentTable built by the native scanner."""
     from ..io.bam import AlignmentTable
@@ -65,39 +106,67 @@ def scan_alignment_table(path: str):
     raw = open(path, "rb").read()
     h = l.bam_scan_open(raw, len(raw))
     try:
-        err = l.bam_scan_error(h)
-        if err:
-            raise ValueError(f"{path}: {err.decode()}")
-        n = l.bam_scan_n_records(h)
-        nref = l.bam_scan_n_refs(h)
-        refs = []
-        buf = ct.create_string_buffer(4096)
-        for i in range(nref):
-            l.bam_scan_ref_name(h, i, buf, 4096)
-            refs.append(buf.value.decode())
-        ref_id = np.empty(n, np.int32)
-        start = np.empty(n, np.int64)
-        end = np.empty(n, np.int64)
-        mapq = np.empty(n, np.int32)
-        flag = np.empty(n, np.int32)
-        l.bam_scan_columns(h, ref_id.ctypes.data, start.ctypes.data,
-                           end.ctypes.data, mapq.ctypes.data, flag.ctypes.data)
-        names_sz = l.bam_scan_names_size(h)
-        cig_sz = l.bam_scan_cigars_size(h)
-        names = np.empty(names_sz, np.uint8)
-        name_off = np.empty(n + 1, np.uint32)
-        cigars = np.empty(cig_sz, np.uint8)
-        cigar_off = np.empty(n + 1, np.uint32)
-        l.bam_scan_strings(h, names.ctypes.data, name_off.ctypes.data,
-                           cigars.ctypes.data, cigar_off.ctypes.data)
+        (refs, _lens, ref_id, start, end, mapq, flag, name_list,
+         cig_list) = _extract(l, h, path)
     finally:
         l.bam_scan_free(h)
-    names_b = names.tobytes()
-    cig_b = cigars.tobytes()
-    name_list = [names_b[name_off[i]:name_off[i + 1]].decode()
-                 for i in range(n)]
-    cig_list = [cig_b[cigar_off[i]:cigar_off[i + 1]].decode()
-                for i in range(n)]
     chrom = [refs[r] for r in ref_id]
     return AlignmentTable(chrom, start, end, name_list, mapq,
                           (flag & 0x10) != 0, cig_list)
+
+
+class LazyBamReader:
+    """BamReader-compatible region reader backed by the native scanner.
+
+    Columns are parsed once in C++; record *sequences* decode lazily per
+    fetch, so per-window extraction touches only the candidate regions.
+    The decompressed stream lives in C++ (1x file-expansion in RAM) —
+    chromosome-scale inputs; a BGZF virtual-offset index is the
+    whole-genome streaming extension.
+    """
+
+    def __init__(self, path: str):
+        self._lib = lib()
+        raw = open(path, "rb").read()
+        self._h = self._lib.bam_scan_open_lazy(raw, len(raw))
+        (self.references, self.lengths, self._ref_id, self._start,
+         self._end, self._mapq, self._flag, self._names,
+         self._cigars) = _extract(self._lib, self._h, path)
+        self._by_chrom: dict[int, np.ndarray] = {}
+        for cid in np.unique(self._ref_id):
+            idx = np.flatnonzero(self._ref_id == cid)
+            self._by_chrom[int(cid)] = idx[np.argsort(self._start[idx],
+                                                      kind="stable")]
+        self._seq_buf = ct.create_string_buffer(1 << 20)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.bam_scan_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def _record(self, i: int):
+        from ..io.bam import BamRecord, parse_cigar_string
+        n = self._lib.bam_scan_record_seq(self._h, int(i), self._seq_buf,
+                                          len(self._seq_buf))
+        if n < 0:
+            raise RuntimeError("record sequence decode failed")
+        seq = self._seq_buf.raw[:n].decode()
+        ops, lens = parse_cigar_string(self._cigars[i])
+        return BamRecord(self._names[i], int(self._flag[i]),
+                         int(self._ref_id[i]), int(self._start[i]),
+                         int(self._mapq[i]), ops, lens, seq,
+                         self.references[self._ref_id[i]])
+
+    def fetch(self, chrom: str, start: int, end: int):
+        try:
+            cid = self.references.index(chrom)
+        except ValueError:
+            return []
+        idx = self._by_chrom.get(cid)
+        if idx is None:
+            return []
+        sel = (self._start[idx] < end) & (self._end[idx] > start)
+        return [self._record(i) for i in idx[sel]]

@@ -35,12 +35,13 @@ from .nw import MATCH, MISMATCH, GAP
 NEG = jnp.int32(-(2 ** 29))
 
 
-def _row_scan(a_codes, b_codes, la, lb, l_max: int):
+def _row_scan(a_codes, b_codes, la, lb, l_max: int, match: int = MATCH,
+              mismatch: int = MISMATCH, gap: int = GAP):
     """Stats for one pair; a (l_max,), b (l_max,) uint8; la/lb true lens."""
     j = jnp.arange(l_max + 1, dtype=jnp.int32)
     jvalid = j[1:] <= lb
 
-    h0 = jnp.where(j <= lb, GAP * j, NEG).astype(jnp.int32)
+    h0 = jnp.where(j <= lb, gap * j, NEG).astype(jnp.int32)
     m0 = jnp.zeros(l_max + 1, jnp.int32)
     a0 = jnp.where(j <= lb, j, 0).astype(jnp.int32)
 
@@ -48,14 +49,14 @@ def _row_scan(a_codes, b_codes, la, lb, l_max: int):
         H_p, M_p, A_p = carry
         ch = a_codes[i]
         valid_i = i < la
-        sub = jnp.where(b_codes == ch, MATCH, MISMATCH).astype(jnp.int32)
+        sub = jnp.where(b_codes == ch, match, mismatch).astype(jnp.int32)
         ismatch = (b_codes == ch).astype(jnp.int32)
         diag = jnp.where(jvalid, H_p[:-1] + sub, NEG)
-        up = H_p[1:] + GAP
+        up = H_p[1:] + gap
         base = jnp.maximum(diag, up)
-        base_full = jnp.concatenate([(H_p[0] + GAP)[None], base])
-        # H[j] = max(base_full[j], H[j-1] + GAP): cummax of base_full - GAP*j
-        decay = GAP * j
+        base_full = jnp.concatenate([(H_p[0] + gap)[None], base])
+        # H[j] = max(base_full[j], H[j-1] + gap): cummax of base_full - gap*j
+        decay = gap * j
         H = jax.lax.associative_scan(jnp.maximum, base_full - decay) + decay
         diag_sel = jnp.concatenate([jnp.array([False]),
                                     (H[1:] == diag) & jvalid])
@@ -85,13 +86,64 @@ def _row_scan(a_codes, b_codes, la, lb, l_max: int):
     return H[lb], M[lb], A[lb]
 
 
-@functools.partial(jax.jit, static_argnames=("l_max",))
-def nw_stats_batch(a_codes, b_codes, la, lb, l_max: int):
+@functools.partial(jax.jit,
+                   static_argnames=("l_max", "match", "mismatch", "gap"))
+def nw_stats_batch(a_codes, b_codes, la, lb, l_max: int, match: int = MATCH,
+                   mismatch: int = MISMATCH, gap: int = GAP):
     """(scores, matches, align_lens) for padded pairs.
 
     a_codes/b_codes (B, l_max) uint8 ascii; la/lb (B,) true lengths."""
-    return jax.vmap(_row_scan, in_axes=(0, 0, 0, 0, None))(
-        a_codes, b_codes, la, lb, l_max)
+    return jax.vmap(_row_scan,
+                    in_axes=(0, 0, 0, 0, None, None, None, None))(
+        a_codes, b_codes, la, lb, l_max, match, mismatch, gap)
+
+
+def edit_distance_batch(pairs: list[tuple[str, str]],
+                        l_buckets=(128, 256, 512, 1024, 2048, 4096)):
+    """Levenshtein distances via the same kernel with unit costs:
+    maximizing (match 0, mismatch -1, gap -1) makes distance = -score.
+    Covers the reference's read-vs-read edit-distance matrix role
+    (src/DecisionMaker.py:76-108, Levenshtein dependency)."""
+    out = np.zeros(len(pairs), np.int64)
+    groups: dict[int, list[int]] = {}
+    for i, (a, b) in enumerate(pairs):
+        mx = max(len(a), len(b), 1)
+        lbk = next((x for x in l_buckets if mx <= x), None)
+        if lbk is None:
+            raise ValueError(f"pair {i} longer than {l_buckets[-1]}")
+        groups.setdefault(lbk, []).append(i)
+    for lbk, idxs in groups.items():
+        B = len(idxs)
+        ac = np.zeros((B, lbk), np.uint8)
+        bc = np.zeros((B, lbk), np.uint8)
+        la = np.zeros(B, np.int32)
+        lbn = np.zeros(B, np.int32)
+        for k, i in enumerate(idxs):
+            a, b = pairs[i]
+            ac[k, :len(a)] = np.frombuffer(a.encode(), np.uint8)
+            bc[k, :len(b)] = np.frombuffer(b.encode(), np.uint8)
+            la[k], lbn[k] = len(a), len(b)
+        s, _m, _al = nw_stats_batch(jnp.asarray(ac), jnp.asarray(bc),
+                                    jnp.asarray(la), jnp.asarray(lbn), lbk,
+                                    0, -1, -1)
+        s = np.array(s)
+        for k, i in enumerate(idxs):
+            out[i] = -int(s[k])
+    return out
+
+
+def pairwise_edit_distance_matrix(seqs: list[str]) -> np.ndarray:
+    """Symmetric read-vs-read Levenshtein matrix on device."""
+    n = len(seqs)
+    pairs = [(seqs[i], seqs[j]) for i in range(n) for j in range(i + 1, n)]
+    d = edit_distance_batch(pairs) if pairs else np.empty(0, np.int64)
+    out = np.zeros((n, n), np.int64)
+    k = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            out[i, j] = out[j, i] = d[k]
+            k += 1
+    return out
 
 
 def misscore_batch(pairs: list[tuple[str, str]], l_buckets=(128, 256, 512,

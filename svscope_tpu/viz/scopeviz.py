@@ -175,11 +175,11 @@ def draw_pipe(record: str, reference: str, tumor_bams, normal_bams, t_ids,
               n_ids, savedir: str, offset: int = 50, mapq: int = 5,
               graph: bool = True):
     """DrawPipe equivalent (src/ScopeVIZ.py:530-562): extract + render."""
-    from ..io.bam import BamReader
+    from ..engine.localgraph import open_bam
     from ..io.fasta import FastaFile
     os.makedirs(savedir, exist_ok=True)
     ref = FastaFile(reference)
-    readers = [BamReader(p) for p in tumor_bams + normal_bams]
+    readers = [open_bam(p) for p in tumor_bams + normal_bams]
     lbls = [f"{t}_tumor" for t in t_ids] + [f"{n}_normal" for n in n_ids]
     win = data_maker(record, ref, readers, lbls, offset=offset, mapq=mapq)
     chrom, start, end = record.strip().split("\t")[:3]

@@ -137,3 +137,18 @@ def test_native_bam_scan_matches_python(tmp_path):
     for col in ("chrom", "start", "end", "name", "mapq", "strand_rev",
                 "cigar"):
         assert (getattr(py, col) == getattr(cc, col)).all(), col
+
+
+def test_lazy_bam_reader_matches_python(tmp_path):
+    from svscope_tpu.native.bam import LazyBamReader
+    path = str(tmp_path / "t.bam")
+    with BamWriter(path, ["chr1"], [10_000]) as w:
+        w.write(_mk_record("r1", 100, "30M20S", "ACGT" * 12 + "GG"))
+        w.write(_mk_record("r2", 150, "50M", "T" * 50, flag=16, mapq=7))
+    py = BamReader(path)
+    lz = LazyBamReader(path)
+    a = py.fetch("chr1", 120, 160)
+    b = lz.fetch("chr1", 120, 160)
+    assert sorted((r.name, r.pos, r.cigarstring, r.seq, r.flag) for r in a) \
+        == sorted((r.name, r.pos, r.cigarstring, r.seq, r.flag) for r in b)
+    assert lz.fetch("chrZ", 0, 10) == []

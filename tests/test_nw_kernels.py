@@ -58,3 +58,19 @@ def test_nw_pallas_parity():
         assert nw_align_stats(a, b) == (s[k], m[k], al[k])
     with pytest.raises(ValueError):
         nw_stats_pallas(ac, bc, la, lb, 512)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="XLA CPU compile is pathological "
+                    "for the scanned NW kernel")
+def test_edit_distance_matches_levenshtein():
+    import Levenshtein
+    from svscope_tpu.ops.nw_batch import (edit_distance_batch,
+                                          pairwise_edit_distance_matrix)
+    rng = np.random.default_rng(3)
+    pairs = _random_pairs(rng, 20, 100) + [("", "ACGT"), ("A", "")]
+    exp = np.array([Levenshtein.distance(a, b) for a, b in pairs])
+    assert (edit_distance_batch(pairs) == exp).all()
+    seqs = ["ACGT", "AGT", "TTTT", ""]
+    M = pairwise_edit_distance_matrix(seqs)
+    E = np.array([[Levenshtein.distance(a, b) for b in seqs] for a in seqs])
+    assert (M == E).all()
