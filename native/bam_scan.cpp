@@ -238,3 +238,147 @@ void bam_scan_strings(void* h, uint8_t* names, uint32_t* name_off,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Breakpoint extraction (WindowSelection GetSpanReads/ParseCLIP semantics,
+// specified by svscope_tpu/select/breakpoints.py; parity-tested there).
+// Emits one row per DEL>=indel_cutoff, INS>=indel_cutoff, CLIP>=clip_cutoff:
+//   rec_idx, bp_type (0 DEL / 1 INS / 2 CLIP), ref_start, ref_end,
+//   read_start, read_end, region_start, region_end
+// where (region_start, region_end) is the aligned-block read span used for
+// the row's readRegion string (strand-reversed coordinates for CLIP rows).
+// ---------------------------------------------------------------------------
+
+struct BpRows {
+  std::vector<int64_t> rec_idx;
+  std::vector<int32_t> bp_type;
+  std::vector<int64_t> ref_start, ref_end, read_start, read_end;
+  std::vector<int64_t> region_start, region_end;
+};
+
+namespace {
+
+void extract_bp(Table* t, int64_t i, int indel_cutoff, int clip_cutoff,
+                BpRows& out, std::vector<uint32_t>& lens,
+                std::vector<char>& ops) {
+  const char* c = t->cigars.data() + t->cigar_off[i];
+  const char* cend = t->cigars.data() + t->cigar_off[i + 1];
+  lens.clear();
+  ops.clear();
+  uint32_t num = 0;
+  for (const char* p = c; p < cend; p++) {
+    if (*p >= '0' && *p <= '9') {
+      num = num * 10 + (*p - '0');
+    } else {
+      lens.push_back(num);
+      ops.push_back(*p);
+      num = 0;
+    }
+  }
+  int n = (int)ops.size();
+  int first_m = -1, last_m = -1;
+  for (int k = 0; k < n; k++)
+    if (ops[k] == 'M' || ops[k] == 'X') {
+      if (first_m < 0) first_m = k;
+      last_m = k;
+    }
+  if (first_m < 0) return;
+  auto is_refgrow = [](char o) { return o == 'D' || o == 'P' || o == 'N'; };
+  int64_t read_start_aln = 0;
+  for (int k = 0; k < first_m; k++) read_start_aln += lens[k];
+  int64_t read_end_aln = 0;
+  for (int k = 0; k <= last_m; k++)
+    if (!is_refgrow(ops[k])) read_end_aln += lens[k];
+  int64_t start = t->start[i];
+  bool rev = (t->flag[i] & 0x10) != 0;
+  // DEL / INS with the reference's ref-walk readstart
+  int64_t ref_before = 0;
+  for (int k = 0; k < n; k++) {
+    char o = ops[k];
+    bool ismatch = (o == 'M' || o == 'X');
+    if ((o == 'D' || o == 'I') && (int)lens[k] >= indel_cutoff) {
+      int64_t rs = start + ref_before;
+      out.rec_idx.push_back(i);
+      out.bp_type.push_back(o == 'D' ? 0 : 1);
+      out.ref_start.push_back(rs);
+      out.ref_end.push_back(o == 'D' ? rs + lens[k] : rs);
+      out.read_start.push_back(ref_before);
+      out.read_end.push_back(o == 'D' ? ref_before : ref_before + lens[k]);
+      out.region_start.push_back(read_start_aln);
+      out.region_end.push_back(read_end_aln);
+    }
+    if (ismatch || is_refgrow(o)) ref_before += lens[k];
+  }
+  // CLIP on the strand-reversed cigar
+  int fm = -1, lm = -1;
+  auto opAt = [&](int k) { return rev ? ops[n - 1 - k] : ops[k]; };
+  auto lenAt = [&](int k) { return lens[rev ? n - 1 - k : k]; };
+  for (int k = 0; k < n; k++)
+    if (opAt(k) == 'M' || opAt(k) == 'X') {
+      if (fm < 0) fm = k;
+      lm = k;
+    }
+  int64_t rs_c = 0;
+  for (int k = 0; k < fm; k++) rs_c += lenAt(k);
+  int64_t re_c = 0;
+  for (int k = 0; k <= lm; k++)
+    if (!is_refgrow(opAt(k))) re_c += lenAt(k);
+  for (int k = 0; k < n; k++) {
+    char o = opAt(k);
+    if ((o == 'S' || o == 'H') && (int)lenAt(k) >= clip_cutoff) {
+      int64_t refpos, readpos;
+      if (k == 0) {
+        refpos = rev ? t->end[i] : start;
+        readpos = rs_c;
+      } else {
+        refpos = rev ? start : t->end[i];
+        readpos = re_c;
+      }
+      out.rec_idx.push_back(i);
+      out.bp_type.push_back(2);
+      out.ref_start.push_back(refpos);
+      out.ref_end.push_back(refpos);
+      out.read_start.push_back(readpos);
+      out.read_end.push_back(readpos);
+      out.region_start.push_back(rs_c);
+      out.region_end.push_back(re_c);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bam_scan_breakpoints(void* h, int32_t indel_cutoff,
+                           int32_t clip_cutoff) {
+  Table* t = (Table*)h;
+  auto* out = new BpRows();
+  std::vector<uint32_t> lens;
+  std::vector<char> ops;
+  for (int64_t i = 0; i < (int64_t)t->ref_id.size(); i++)
+    extract_bp(t, i, indel_cutoff, clip_cutoff, *out, lens, ops);
+  return out;
+}
+
+int64_t bp_rows_count(void* b) { return ((BpRows*)b)->rec_idx.size(); }
+
+void bp_rows_columns(void* b, int64_t* rec_idx, int32_t* bp_type,
+                     int64_t* ref_start, int64_t* ref_end,
+                     int64_t* read_start, int64_t* read_end,
+                     int64_t* region_start, int64_t* region_end) {
+  BpRows* r = (BpRows*)b;
+  size_t n = r->rec_idx.size();
+  memcpy(rec_idx, r->rec_idx.data(), n * 8);
+  memcpy(bp_type, r->bp_type.data(), n * 4);
+  memcpy(ref_start, r->ref_start.data(), n * 8);
+  memcpy(ref_end, r->ref_end.data(), n * 8);
+  memcpy(read_start, r->read_start.data(), n * 8);
+  memcpy(read_end, r->read_end.data(), n * 8);
+  memcpy(region_start, r->region_start.data(), n * 8);
+  memcpy(region_end, r->region_end.data(), n * 8);
+}
+
+void bp_rows_free(void* b) { delete (BpRows*)b; }
+
+}  // extern "C"

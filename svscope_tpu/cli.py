@@ -50,6 +50,33 @@ def _load_tables(args):
     return t, n
 
 
+def _load_tables_with_bp(args):
+    """Tables + native breakpoint frames in one C++ pass (selection path).
+
+    Falls back to tables-only (parse_windows then extracts in Python)."""
+    import pandas as pd
+    try:
+        from .native.bam import scan_with_breakpoints
+        ts, tb, ns, nb = [], [], [], []
+        for p in args.Tumorbam.split(","):
+            t, b = scan_with_breakpoints(p)
+            ts.append(t)
+            tb.append(b)
+        for p in args.Normalbam.split(","):
+            t, b = scan_with_breakpoints(p)
+            ns.append(t)
+            nb.append(b)
+        from .io.bam import AlignmentTable
+        return (AlignmentTable.concat(ts), AlignmentTable.concat(ns),
+                pd.concat(tb, ignore_index=True),
+                pd.concat(nb, ignore_index=True))
+    except Exception as exc:
+        log.warning("native breakpoint scan failed (%s); Python fallback",
+                    exc)
+        t, n = _load_tables(args)
+        return t, n, None, None
+
+
 def _genome_windows(args, fai):
     from .engine.features import make_genome_windows
     if getattr(args, "genomeWindow", None):
@@ -65,9 +92,10 @@ def cmd_data_prepare(args):
     fai = args.Reference + ".fai"
     os.makedirs(args.savedir, exist_ok=True)
     if args.selectwindows:
-        t_table, n_table = _load_tables(args)
+        t_table, n_table, t_bp, n_bp = _load_tables_with_bp(args)
         paths = find_candidate_sv_windows(t_table, n_table, fai,
-                                          args.tandemRepeatFile, args.savedir)
+                                          args.tandemRepeatFile, args.savedir,
+                                          t_bp=t_bp, n_bp=n_bp)
         write_interaln_vcf(args.savedir, fai,
                            os.path.basename(args.Tumorbam.split(",")[0]
                                             ).split(".bam")[0], paths)

@@ -59,6 +59,13 @@ def lib():
         l.bam_scan_cigars_size.restype = ct.c_int64
         l.bam_scan_cigars_size.argtypes = [ct.c_void_p]
         l.bam_scan_strings.argtypes = [ct.c_void_p] + [ct.c_void_p] * 4
+        l.bam_scan_breakpoints.restype = ct.c_void_p
+        l.bam_scan_breakpoints.argtypes = [ct.c_void_p, ct.c_int32,
+                                           ct.c_int32]
+        l.bp_rows_count.restype = ct.c_int64
+        l.bp_rows_count.argtypes = [ct.c_void_p]
+        l.bp_rows_columns.argtypes = [ct.c_void_p] + [ct.c_void_p] * 8
+        l.bp_rows_free.argtypes = [ct.c_void_p]
         _lib = l
     return _lib
 
@@ -113,6 +120,58 @@ def scan_alignment_table(path: str):
     chrom = [refs[r] for r in ref_id]
     return AlignmentTable(chrom, start, end, name_list, mapq,
                           (flag & 0x10) != 0, cig_list)
+
+
+def scan_with_breakpoints(path: str, indel_cutoff: int = 40,
+                          clip_cutoff: int = 100):
+    """(AlignmentTable, breakpoint DataFrame) in one native pass.
+
+    The breakpoint frame matches select.breakpoints.span_breakpoints row
+    for row (parity-tested) — the whole-genome CIGAR parse at C++ speed.
+    """
+    import pandas as pd
+    from ..io.bam import AlignmentTable
+    l = lib()
+    raw = open(path, "rb").read()
+    h = l.bam_scan_open(raw, len(raw))
+    try:
+        (refs, _lens, ref_id, start, end, mapq, flag, name_list,
+         cig_list) = _extract(l, h, path)
+        b = l.bam_scan_breakpoints(h, indel_cutoff, clip_cutoff)
+        try:
+            nb = l.bp_rows_count(b)
+            rec_idx = np.empty(nb, np.int64)
+            bp_type = np.empty(nb, np.int32)
+            cols = [np.empty(nb, np.int64) for _ in range(6)]
+            l.bp_rows_columns(b, rec_idx.ctypes.data, bp_type.ctypes.data,
+                              *[c.ctypes.data for c in cols])
+        finally:
+            l.bp_rows_free(b)
+    finally:
+        l.bam_scan_free(h)
+    # NOTE: table construction sorts rows; breakpoint rows reference the
+    # ORIGINAL record order via rec_idx, so build strings from raw columns.
+    chrom_arr = np.array([refs[r] for r in ref_id], dtype=object)
+    table = AlignmentTable(chrom_arr, start, end, name_list, mapq,
+                           (flag & 0x10) != 0, cig_list)
+    names_arr = np.array(name_list, dtype=object)
+    type_names = np.array(["DEL", "INS", "CLIP"], dtype=object)
+    ref_region = [f"{chrom_arr[i]}:{start[i]}-{end[i]}" for i in rec_idx]
+    read_region = [f"{a}-{b}" for a, b in zip(cols[4], cols[5])]
+    bp = pd.DataFrame({
+        "chrom": chrom_arr[rec_idx],
+        "ref_start": cols[0],
+        "ref_end": cols[1],
+        "read_id": names_arr[rec_idx],
+        "read_start": cols[2],
+        "read_end": cols[3],
+        "ref_region": ref_region,
+        "read_region": read_region,
+        "mapq": mapq[rec_idx],
+        "strand": np.where((flag[rec_idx] & 0x10) != 0, "-", "+"),
+        "bp_type": type_names[bp_type],
+    })
+    return table, bp
 
 
 class LazyBamReader:

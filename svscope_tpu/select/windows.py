@@ -50,20 +50,27 @@ log = logging.getLogger("svscope_tpu.select")
 # ---------------------------------------------------------------------------
 
 def parse_windows(table: AlignmentTable, fai_path: str, data_label: str,
-                  mapq: int = 5, rm_chroms=("chrM",)):
+                  mapq: int = 5, rm_chroms=("chrM",), bp_df=None):
     """ParseWindows equivalent (:266-331).
+
+    bp_df: precomputed breakpoint frame (native scanner,
+    native/bam.scan_with_breakpoints) — row-identical to the Python
+    extraction below, just fast.
 
     Returns dict with DataFrames: del_bp, ins_bp, clip_others, clip_inv,
     clip_tra (each with Site + DataLabel columns), clip_groups.
     """
-    bp = BreakpointRows()
-    for i in range(len(table)):
-        span_breakpoints(table.chrom[i], int(table.start[i]),
-                         int(table.end[i]), table.name[i],
-                         int(table.mapq[i]),
-                         "-" if table.strand_rev[i] else "+",
-                         table.cigar[i], out=bp)
-    df = pd.DataFrame(bp.asarrays())
+    if bp_df is not None:
+        df = bp_df
+    else:
+        bp = BreakpointRows()
+        for i in range(len(table)):
+            span_breakpoints(table.chrom[i], int(table.start[i]),
+                             int(table.end[i]), table.name[i],
+                             int(table.mapq[i]),
+                             "-" if table.strand_rev[i] else "+",
+                             table.cigar[i], out=bp)
+        df = pd.DataFrame(bp.asarrays())
     if len(df) == 0:
         empty = pd.DataFrame(columns=["BPsite", "readID", "BPType", "mapQ",
                                       "Site", "DataLabel"])
@@ -299,7 +306,8 @@ def _reciprocal_hits(a: pd.DataFrame, b: pd.DataFrame, frac=0.5):
 
 def find_candidate_sv_windows(t_table: AlignmentTable, n_table: AlignmentTable,
                               fai_path: str, repeat_bed: str, savedir: str,
-                              eps: float = 500.0, min_samples: int = 3):
+                              eps: float = 500.0, min_samples: int = 3,
+                              t_bp=None, n_bp=None):
     """FindCandidateSVWindow equivalent (:458-635).
 
     Returns dict of output paths: somatic_bed, large_del, large_dup, inv,
@@ -307,8 +315,8 @@ def find_candidate_sv_windows(t_table: AlignmentTable, n_table: AlignmentTable,
     """
     os.makedirs(savedir, exist_ok=True)
     offsets = chrom_offsets(fai_path)
-    tum = parse_windows(t_table, fai_path, "Tumor", mapq=5)
-    nor = parse_windows(n_table, fai_path, "Normal", mapq=0)
+    tum = parse_windows(t_table, fai_path, "Tumor", mapq=5, bp_df=t_bp)
+    nor = parse_windows(n_table, fai_path, "Normal", mapq=0, bp_df=n_bp)
 
     cand_del = _merge_bp_windows(tum["del_bp"], "DEL")
     cand_ins = _merge_bp_windows(tum["ins_bp"], "INS")

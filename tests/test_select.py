@@ -251,3 +251,38 @@ def test_inv_to_interaln_vcf(tmp_path):
     vcf = write_interaln_vcf(savedir, str(fai), "S", paths)
     body = [l for l in open(vcf).read().splitlines() if not l.startswith("#")]
     assert len(body) == 1 and "SVTYPE=INV" in body[0]
+
+
+def test_native_breakpoints_match_python(pair_dir, tmp_path):
+    """C++ breakpoint extraction row-set == Python span_breakpoints."""
+    import pandas as pd
+    from svscope_tpu.select.breakpoints import (BreakpointRows,
+                                                span_breakpoints)
+    from svscope_tpu.native.bam import scan_with_breakpoints
+    d, (ref_path, tumor, normal, recs, ref) = pair_dir
+    # also exercise CLIP + '-' strand via split reads written to a BAM
+    from svscope_tpu.io.bam import BamRecord, BamWriter, parse_cigar_string
+    path = str(tmp_path / "sp.bam")
+    with BamWriter(path, ["chr1"], [100_000]) as w:
+        for i, (pos, cig, fl) in enumerate([
+                (5000, "400M600S", 0), (55000, "400H600M", 0),
+                (7000, "150S300M", 16), (8000, "300M200S", 16),
+                (9000, "100M50D100M60I100M120S", 0)]):
+            ops, lens = parse_cigar_string(cig)
+            qlen = int(lens[np.isin(ops, [0, 1, 4, 7, 8])].sum())
+            w.write(BamRecord(f"s{i}", fl, 0, pos, 60, ops, lens, "A" * qlen))
+    for bam in (tumor, path):
+        table, bp_native = scan_with_breakpoints(bam)
+        py = BreakpointRows()
+        for i in range(len(table)):
+            span_breakpoints(table.chrom[i], int(table.start[i]),
+                             int(table.end[i]), table.name[i],
+                             int(table.mapq[i]),
+                             "-" if table.strand_rev[i] else "+",
+                             table.cigar[i], out=py)
+        py_df = pd.DataFrame(py.asarrays())
+        cols = list(py_df.columns)
+        assert len(py_df) == len(bp_native) and len(py_df) > 0
+        a = sorted(map(tuple, py_df[cols].astype(str).values.tolist()))
+        b = sorted(map(tuple, bp_native[cols].astype(str).values.tolist()))
+        assert a == b
