@@ -16,7 +16,7 @@ behind the same API for whole-genome scale (native/).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -11,9 +11,6 @@ from __future__ import annotations
 import os
 import re
 
-import numpy as np
-
-from ..utils import intervals as iv
 
 
 def _parse_uuid_region(uuid: str):

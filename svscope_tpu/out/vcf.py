@@ -12,7 +12,6 @@ import os
 import re
 import time
 
-import numpy as np
 import pandas as pd
 
 _INFO = (

@@ -18,7 +18,6 @@ Multi-host: every process feeds its local shard of the window stream
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax
@@ -27,7 +26,7 @@ import jax.numpy as jnp
 from ..utils.jaxcfg import enable_cache
 
 enable_cache()
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map  # jax >= 0.7
 except ImportError:  # pragma: no cover

@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 import time
 
-import numpy as np
 import pandas as pd
 
 from .breakpoints import bp_arrange, chrom_offsets, sort_breakpoint

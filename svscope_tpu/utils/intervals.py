@@ -16,7 +16,7 @@ Semantics follow bedtools:
 """
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 from scipy.stats import chi2_contingency
 
-from ..native.poa import poa_native
 from ..utils import seq as sq
 
 

@@ -111,3 +111,33 @@ def test_misscore_values():
     # min-|.|, negative when somatic shorter
     assert calculate_misscore(["ACGT"], ["ACGTTTTT"]) == -4
     assert calculate_misscore(["ACGTTTTT", "ACGT"], ["ACGTT"]) == -1
+
+
+def test_multi_sample_bams(tmp_path):
+    """Comma-separated multi-BAM inputs (reference supports multiple
+    tumor/normal samples per run)."""
+    d = str(tmp_path)
+    ref, tumor, normal, recs, refseq = make_test_pair(d, seed=6)
+    # split the tumor records over two BAMs
+    from svscope_tpu.io.bam import BamReader, BamWriter
+    rd = BamReader(tumor)
+    t1, t2 = str(tmp_path / "t1.bam"), str(tmp_path / "t2.bam")
+    with BamWriter(t1, rd.references, rd.lengths) as w1, \
+         BamWriter(t2, rd.references, rd.lengths) as w2:
+        for i, r in enumerate(rd.records):
+            (w1 if i % 2 == 0 else w2).write(r)
+    out = main(["localGraph", "-w", "/dev/stdin", "-T", f"{t1},{t2}",
+                "-N", normal, "-t", "A,B", "-n", "C", "-r", ref,
+                "-s", d + "/ms"]) if False else None
+    # use a temp window bed instead of stdin
+    wb = str(tmp_path / "w.bed")
+    open(wb, "w").write("\n".join(recs) + "\n")
+    out = main(["localGraph", "-w", wb, "-T", f"{t1},{t2}", "-N", normal,
+                "-t", "A,B", "-n", "C", "-r", ref, "-s", d + "/ms"])
+    assert out.endswith("A-B.vs.C.TandemRepeat.Raw.bed")
+    rows = [l.split("\t") for l in open(out).read().splitlines()]
+    em = [r for r in rows if r[9].endswith("EMOutput")]
+    assert len(em) == 1
+    # somatic reads carry per-sample labels A_tumor / B_tumor
+    labels = {x.split("|")[0] for x in em[0][4].replace(";", ",").split(",")}
+    assert labels == {"A_tumor", "B_tumor"}
