@@ -90,7 +90,14 @@ def window_info(table: AlignmentTable, chrom: str, start: int, end: int,
 
 def background_stats(table: AlignmentTable, windows, show_chrom_span=False):
     """background equivalent (src/DataScanner.py:469-481): DataFrame keyed
-    'chrom_start-end'."""
+    'chrom_start-end'.
+
+    The genome-grid case (show_chrom_span=False, the ~308k-window sweep) is
+    fully vectorized: every (window, alignment) overlap pair is generated
+    with searchsorted over the per-chromosome window grid, reduced per
+    (window, read) with lexsort groupby — no per-window Python loop."""
+    if not show_chrom_span and len(windows) > 64:
+        return _background_stats_vectorized(table, windows)
     rows = []
     for (chrom, start, end) in windows:
         info = window_info(table, chrom, int(start), int(end),
@@ -103,6 +110,72 @@ def background_stats(table: AlignmentTable, windows, show_chrom_span=False):
     cols = (["window", "COV", "mapQRate", "chromSpan", "TotalReadID"]
             if show_chrom_span else ["window", "COV", "mapQRate"])
     df = pd.DataFrame(rows, columns=cols)
+    df.index = df["window"]
+    return df
+
+
+def _background_stats_vectorized(table: AlignmentTable, windows,
+                                 mapq_cutoff: int = 5) -> pd.DataFrame:
+    """Vectorized COV/mapQRate over an arbitrary window list.
+
+    Per window w: group that window's overlapping alignment rows by read
+    (start=min, end=max, mapQ=min over the rows IN the window), then
+    COV = sum per-read clipped span / window length and mapQRate = fraction
+    of reads with min mapQ < cutoff — windowInfo semantics exactly."""
+    win_df = pd.DataFrame(windows, columns=["chrom", "start", "end"])
+    keys = (win_df.chrom.astype(str) + "_" + win_df.start.astype(str)
+            + "-" + win_df.end.astype(str))
+    cov = np.full(len(win_df), np.nan)
+    mqr = np.full(len(win_df), np.nan)
+    name_codes = pd.factorize(pd.Series(table.name))[0]
+    for chrom, wg in win_df.groupby("chrom", sort=False):
+        if chrom not in table._chrom_slices:
+            continue
+        lo, hi = table._chrom_slices[chrom]
+        a_start = table.start[lo:hi]
+        a_end = table.end[lo:hi]
+        a_mapq = table.mapq[lo:hi]
+        a_name = name_codes[lo:hi]
+        ws = wg.start.to_numpy(np.int64)
+        we = wg.end.to_numpy(np.int64)
+        worder = np.argsort(ws, kind="stable")
+        ws_s, we_s = ws[worder], we[worder]
+        widx_s = wg.index.to_numpy()[worder]
+        if not (np.diff(we_s) >= 0).all():
+            # non-monotone window ends (irregular bed): per-window fallback
+            for wi, s_, e_ in zip(wg.index, wg.start, wg.end):
+                info = window_info(table, chrom, int(s_), int(e_))
+                cov[wi], mqr[wi] = info
+            continue
+        # window j overlaps row i iff ws[j] < a_end[i] and we[j] > a_start[i]
+        hi_w = np.searchsorted(ws_s, a_end, side="left")
+        lo_w = np.searchsorted(we_s, a_start, side="right")
+        reps = np.maximum(hi_w - lo_w, 0)
+        pair_a = np.repeat(np.arange(len(a_start)), reps)
+        pair_w = (np.concatenate([np.arange(l, h) for l, h
+                                  in zip(lo_w, hi_w) if h > l])
+                  if reps.sum() else np.empty(0, np.intp))
+        if len(pair_a) == 0:
+            continue
+        # reduce per (window, read): start min, end max, mapq min
+        grp = pd.DataFrame({
+            "w": pair_w, "r": a_name[pair_a],
+            "s": a_start[pair_a], "e": a_end[pair_a], "q": a_mapq[pair_a]})
+        agg = grp.groupby(["w", "r"], sort=False).agg(
+            s=("s", "min"), e=("e", "max"), q=("q", "min")).reset_index()
+        wn = agg.w.to_numpy()
+        ov = (np.minimum(agg.e.to_numpy(), we_s[wn])
+              - np.maximum(agg.s.to_numpy(), ws_s[wn]))
+        ov = np.clip(ov, 0, None)
+        n_reads = np.bincount(wn, minlength=len(ws_s))
+        cov_sum = np.bincount(wn, weights=ov, minlength=len(ws_s))
+        low_q = np.bincount(wn, weights=(agg.q.to_numpy() < mapq_cutoff),
+                            minlength=len(ws_s))
+        has = n_reads > 0
+        wlen = np.maximum(we_s - ws_s, 1)
+        cov[widx_s[has]] = cov_sum[has] / wlen[has]
+        mqr[widx_s[has]] = low_q[has] / n_reads[has]
+    df = pd.DataFrame({"window": keys, "COV": cov, "mapQRate": mqr})
     df.index = df["window"]
     return df
 

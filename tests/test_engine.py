@@ -135,3 +135,24 @@ def test_data_maker2_corners(pair):
         # plenty of reads cover the 50bp corners
         assert wd.flag in ("UnspanedSV", "UnspannedSV")
         assert len(wd.sequences) >= 4
+
+
+def test_background_stats_vectorized_parity(pair):
+    from svscope_tpu.engine.features import (background_stats,
+                                             _background_stats_vectorized,
+                                             make_genome_windows, window_info)
+    from svscope_tpu.io.bam import AlignmentTable
+    ref_path, tumor, normal, recs, refseq = pair
+    t = AlignmentTable.from_bam(tumor)
+    wins = make_genome_windows(ref_path + ".fai", size=2500)
+    fast = _background_stats_vectorized(t, wins)
+    for i, (c, s, e) in enumerate(wins):
+        exp_cov, exp_mq = window_info(t, c, s, e)
+        got_cov, got_mq = fast.COV.iloc[i], fast.mapQRate.iloc[i]
+        assert (np.isnan(exp_cov) and np.isnan(got_cov)) or \
+            abs(exp_cov - got_cov) < 1e-9
+        assert (np.isnan(exp_mq) and np.isnan(got_mq)) or \
+            abs(exp_mq - got_mq) < 1e-9
+    # >64 windows routes through the vectorized path automatically
+    via_bg = background_stats(t, wins)
+    assert (via_bg.COV.fillna(-1) == fast.COV.fillna(-1)).all()
