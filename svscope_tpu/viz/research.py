@@ -86,6 +86,51 @@ def bh_fdr(pvals: np.ndarray) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Cohort enrichment helpers (ScopeVIZ CountSomTD / R_OE / AnnoTDwindow,
+# src/ScopeVIZ.py:131-188): is a recurrent somatic TD window enriched in a
+# particular cancer type?
+# ---------------------------------------------------------------------------
+
+def som_td_cross_tab(record: np.ndarray, ca_type: np.ndarray) -> np.ndarray:
+    """(2, n_types) positive/negative patient counts per cancer type for
+    one window (CountSomTD): positive = patients with a nonzero call."""
+    record = np.asarray(record)
+    ca_type = np.asarray(ca_type)
+    type_names, total = np.unique(ca_type, return_counts=True)
+    pos = np.zeros(type_names.shape[0])
+    hit_types, hit_counts = np.unique(ca_type[record != 0],
+                                      return_counts=True)
+    for t, c in zip(hit_types, hit_counts):
+        pos[type_names == t] += c
+    return np.vstack([pos, total - pos])
+
+
+def r_oe(cross_tab: np.ndarray) -> np.ndarray:
+    """Observed/expected positive ratio per cancer type (R_OE)."""
+    observed = cross_tab[0]
+    total_pos = cross_tab[0].sum()
+    totals = cross_tab.sum(axis=0)
+    expected = totals * total_pos / cross_tab.sum()
+    return observed / expected
+
+
+def annotate_td_window(record: np.ndarray, ca_type: np.ndarray,
+                       p_cutoff: float = 0.05, roe_cutoff: float = 1.5,
+                       min_pos: int = 4) -> str:
+    """AnnoTDwindow: comma-joined cancer types where the window is enriched
+    (chi2 p <= 0.05, R(O/E) >= 1.5, >= 4 positive patients), '-' if none."""
+    cross = som_td_cross_tab(record, ca_type)
+    roe = r_oe(cross)
+    type_names = np.unique(np.asarray(ca_type))
+    _chi, p, _dof, _ex = chi2_contingency(cross)
+    if p <= p_cutoff:
+        enriched = type_names[(roe >= roe_cutoff) & (cross[0] >= min_pos)]
+        if enriched.shape[0] > 0:
+            return ",".join(enriched)
+    return "-"
+
+
 def parse_repeatmasker_out(path: str):
     """RepeatMasker .out -> list of (chrom, start, end, repeat_class)."""
     rows = []

@@ -51,3 +51,20 @@ def test_parse_repeatmasker_out(tmp_path):
                  "(TAACCC)n Simple_repeat 1 463 (0) 1\n")
     rows = parse_repeatmasker_out(str(p))
     assert rows == [("chr1", 10000, 10468, "Simple_repeat")]
+
+
+def test_cohort_enrichment():
+    from svscope_tpu.viz.research import (annotate_td_window, r_oe,
+                                          som_td_cross_tab)
+    ca = np.array(["HCC"] * 10 + ["LUAD"] * 10)
+    rec = np.zeros(20)
+    rec[:6] = 1  # 6/10 HCC positive, 0/10 LUAD
+    cross = som_td_cross_tab(rec, ca)
+    assert cross[0].tolist() == [6, 0] and cross[1].tolist() == [4, 10]
+    roe = r_oe(cross)
+    assert roe[0] == 2.0 and roe[1] == 0.0  # expected 3 each
+    assert annotate_td_window(rec, ca) == "HCC"
+    balanced = np.zeros(20)
+    balanced[:5] = 1
+    balanced[10:15] = 1  # 5/10 positive in both types: no enrichment
+    assert annotate_td_window(balanced, ca) == "-"
