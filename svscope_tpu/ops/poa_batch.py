@@ -42,7 +42,8 @@ def _bucket(x, ladder):
     return None
 
 
-def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False):
+def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False,
+                  threads: int | None = None):
     """spoa-equivalent poa(seqs, 1) over many windows.
 
     Returns [(consensus, msa_rows)] per window."""
@@ -50,7 +51,7 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False):
         if len(seq_lists) > 1:
             from ..native.poa import lib
             lib()  # initialize the CDLL before fanning out threads
-            with ThreadPoolExecutor(max_workers=HOST_THREADS) as ex:
+            with ThreadPoolExecutor(max_workers=threads or HOST_THREADS) as ex:
                 return list(ex.map(poa_native, seq_lists))
         return [poa_native(s) for s in seq_lists]
     graphs = [NativePoaGraph() for _ in seq_lists]

@@ -41,3 +41,33 @@ def test_graft_dryrun_8_devices():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     ge.dryrun_multichip(8)
+
+
+def test_sharded_em_collectives_equal_unsharded():
+    """psum-decomposed EM over mp=4 == the same scan on one device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from svscope_tpu.parallel.mesh import (make_example_batch, make_mesh,
+                                           sharded_em_step)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    devs = np.array(jax.devices()[:8])
+    mesh_wide = Mesh(devs.reshape(2, 4), ("dp", "mp"))
+    mesh_flat = Mesh(devs[:2].reshape(2, 1), ("dp", "mp"))
+    batch, n_reads, nf = 4, 16, 12
+    args_np = make_example_batch(batch, n_reads, nf, seed=3)
+    outs = []
+    for mesh in (mesh_wide, mesh_flat):
+        put = lambda a, spec: jax.device_put(jnp.asarray(a),
+                                             NamedSharding(mesh, spec))
+        args = (put(args_np[0], P("dp", "mp", None, None)),
+                put(args_np[1], P("dp", "mp")),
+                put(args_np[2], P("dp", "mp", None)),
+                put(args_np[3], P("dp", None)),
+                put(args_np[4], P("dp")))
+        gamma, lik = sharded_em_step(mesh)(*args)
+        outs.append((np.array(gamma), np.array(lik)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-5)

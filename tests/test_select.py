@@ -286,3 +286,23 @@ def test_native_breakpoints_match_python(pair_dir, tmp_path):
         a = sorted(map(tuple, py_df[cols].astype(str).values.tolist()))
         b = sorted(map(tuple, bp_native[cols].astype(str).values.tolist()))
         assert a == b
+
+
+def test_inner_del_channel(tmp_path):
+    """Somatic DEL windows flow through the CandidateDEL channel."""
+    d = str(tmp_path)
+    wins = [dict(start=2000, end=2100, svtype="DEL", svlen=70, som_reads=5,
+                 depth=12)]
+    ref_path, tumor, normal, recs, _ = make_test_pair(d, seed=9,
+                                                      ref_len=20_000,
+                                                      windows=wins)
+    t = AlignmentTable.from_bam(tumor)
+    n = AlignmentTable.from_bam(normal)
+    repeat = str(tmp_path / "rep.bed"); open(repeat, "w").close()
+    paths = find_candidate_sv_windows(t, n, ref_path + ".fai", repeat,
+                                      str(tmp_path / "o"))
+    som = open(paths["somatic_bed"]).read().splitlines()
+    assert len(som) == 1
+    cols = som[0].split("\t")
+    assert cols[5] == "DEL"
+    assert int(cols[1]) <= 2050 <= int(cols[2]) + 60
