@@ -124,7 +124,8 @@ def cmd_local_graph(args):
         args.Normalbam.split(","), args.TSampleID.split(","),
         args.NSampleID.split(","), args.savedir, offset=args.offset,
         mapq=args.mapQ, continue_run=args.Continue, em_dtype=_em_dtype(args),
-        device_poa=getattr(args, "device_poa", False))
+        device_poa=getattr(args, "device_poa", False),
+        threads=int(getattr(args, "thread", 8) or 8))
 
 
 def cmd_local_graph_npz(args):

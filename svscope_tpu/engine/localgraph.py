@@ -65,7 +65,8 @@ def _passes_gates(win: WindowData, t_label: str = "tumor") -> bool:
     return (len(win.sequences) > 3 and uniq.shape[0] >= 2 and cnt.min() >= 3)
 
 
-def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa):
+def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa,
+                threads=None):
     """Phase C: label clusters, batch all consensus POAs in one device
     round set, emit 10-column records."""
     jobs = []        # consensus sequence lists across all windows
@@ -96,7 +97,8 @@ def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa):
                 jobs.append(rws)
         parsed.append((win, read_ids, som_idx, germ_idx,
                        ["-"] * len(som_idx), ["-"] * len(germ_idx)))
-    cons_out = poa_msa_batch(jobs, use_device=device_poa) if jobs else []
+    cons_out = poa_msa_batch(jobs, use_device=device_poa,
+                             threads=threads) if jobs else []
     for (wi, kind, pos), (cons, _msa) in zip(job_ref, cons_out):
         if kind == "som":
             parsed[wi][4][pos] = cons
@@ -125,7 +127,8 @@ def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa):
 def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
                          readcutoff: int = 3, hcutoff: int = 3,
                          scutoff: float = 0.05, em_dtype=None,
-                         device_poa: bool = False) -> list[list]:
+                         device_poa: bool = False,
+                         threads: int | None = None) -> list[list]:
     """Batched Decision over prepared window payloads: gates -> batched POA
     MSA -> feature selection -> batched EM -> labeling + batched consensus.
     Row-for-row equivalent to decision() over each window (tested)."""
@@ -137,8 +140,8 @@ def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
             pending.append(len(entries))
             msa_jobs.append(win.sequences)
         entries.append([win, None])
-    msa_out = poa_msa_batch(msa_jobs, use_device=device_poa) \
-        if msa_jobs else []
+    msa_out = poa_msa_batch(msa_jobs, use_device=device_poa,
+                            threads=threads) if msa_jobs else []
     ready = []
     for ei, (_cons, msa) in zip(pending, msa_out):
         win, _ = entries[ei]
@@ -154,7 +157,8 @@ def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
     feats = [feat for (_, _, _, feat) in ready]
     kwargs = {} if em_dtype is None else {"dtype": em_dtype}
     em_results = em_cluster_batch(feats, **kwargs) if feats else []
-    emitted = _emit_chunk(ready, em_results, t_label, readcutoff, device_poa)
+    emitted = _emit_chunk(ready, em_results, t_label, readcutoff, device_poa,
+                          threads)
     records = []
     for win, state in entries:
         if state is None:
@@ -173,7 +177,8 @@ def run_local_graph(window_records: list[str], reference: str,
                     continue_run: bool = False, em_dtype=None,
                     t_label: str = "tumor", readcutoff: int = 3,
                     hcutoff: int = 3, scutoff: float = 0.05,
-                    device_poa: bool | None = None) -> str:
+                    device_poa: bool | None = None,
+                    threads: int | None = None) -> str:
     """Batched localGraph (src/SVscope.py:118-183 equivalent)."""
     os.makedirs(savedir, exist_ok=True)
     out_path = os.path.join(savedir, raw_bed_name(t_ids, n_ids))
@@ -205,7 +210,8 @@ def run_local_graph(window_records: list[str], reference: str,
                            mapq=mapq) for rec in chunk]
         records = process_window_batch(
             wins, t_label=t_label, readcutoff=readcutoff, hcutoff=hcutoff,
-            scutoff=scutoff, em_dtype=em_dtype, device_poa=device_poa)
+            scutoff=scutoff, em_dtype=em_dtype, device_poa=device_poa,
+            threads=threads)
         for rec, win, record in zip(chunk, wins, records):
             # DUP corner rescue on any non-EMOutput result
             # (src/SomTDDetector.py:41-58; trigger column replicated)
