@@ -9,6 +9,8 @@
 //
 // C ABI (ctypes): all buffers caller-allocated int32/uint8.
 #include <algorithm>
+#include <atomic>
+#include <thread>
 #include <cstdint>
 #include <cstring>
 #include <map>
@@ -425,6 +427,80 @@ int poa_consensus(void* h, int cap, uint8_t* out) {
   if ((int)c.size() > cap) return -1;
   memcpy(out, c.data(), c.size());
   return (int)c.size();
+}
+
+// Batch MSA across windows with an internal thread pool: one C call builds
+// every window's graph and emits '\n'-joined MSA rows with the consensus
+// first.  Input: all sequences concatenated; seq_off (n_seqs+1); win_off
+// (n_windows+1) indexing into the sequence list.  Output per window into
+// out + out_off slots (caller provides per-window capacity cap_per_win).
+// Returns 0, or the index+1 of the first window whose output overflowed.
+int poa_msa_batch(const char* seqs, const int64_t* seq_off, int64_t n_seqs,
+                  const int64_t* win_off, int64_t n_windows,
+                  uint8_t* out, int64_t cap_per_win, int64_t* out_len,
+                  int32_t n_threads) {
+  std::vector<int> status((size_t)n_windows, 0);
+  auto work = [&](int64_t w) {
+    Graph g;
+    for (int64_t s = win_off[w]; s < win_off[w + 1]; s++) {
+      const char* seq = seqs + seq_off[s];
+      int len = (int)(seq_off[s + 1] - seq_off[s]);
+      if (len == 0) {
+        g.seq_begin.push_back(-1);
+        g.paths.emplace_back();
+      } else if (g.n_nodes() == 0) {
+        add_first(g, seq, len);
+      } else {
+        std::vector<std::pair<int, int>> aln;
+        align_seq(g, seq, len, aln);
+        fuse(g, aln, seq);
+      }
+    }
+    std::string cons = consensus(g);
+    const std::vector<int>& order = g.topo_order();
+    std::vector<int> col(g.n_nodes(), -1);
+    int ncol = 0;
+    for (int v : order) {
+      if (col[v] >= 0) continue;
+      col[v] = ncol;
+      for (int a : g.aligned[v]) col[a] = ncol;
+      ncol++;
+    }
+    int64_t ns = (int64_t)g.paths.size();
+    int64_t need = (int64_t)cons.size() + 1 + ns * (ncol + 1);
+    if (need > cap_per_win) {
+      status[w] = 1;
+      out_len[w] = 0;
+      return;
+    }
+    uint8_t* dst = out + w * cap_per_win;
+    memcpy(dst, cons.data(), cons.size());
+    int64_t pos = cons.size();
+    dst[pos++] = '\n';
+    for (int64_t s = 0; s < ns; s++) {
+      memset(dst + pos, '-', ncol);
+      for (int v : g.paths[s]) dst[pos + col[v]] = g.chars[v];
+      pos += ncol;
+      dst[pos++] = '\n';
+    }
+    out_len[w] = pos;
+  };
+  if (n_threads <= 1 || n_windows <= 1) {
+    for (int64_t w = 0; w < n_windows; w++) work(w);
+  } else {
+    std::vector<std::thread> pool;
+    std::atomic<int64_t> next(0);
+    for (int t = 0; t < n_threads; t++)
+      pool.emplace_back([&]() {
+        for (int64_t w = next.fetch_add(1); w < n_windows;
+             w = next.fetch_add(1))
+          work(w);
+      });
+    for (auto& th : pool) th.join();
+  }
+  for (int64_t w = 0; w < n_windows; w++)
+    if (status[w]) return (int)(w + 1);
+  return 0;
 }
 
 }  // extern "C"

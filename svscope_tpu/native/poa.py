@@ -52,6 +52,11 @@ def lib():
         l.poa_msa.argtypes = [ct.c_void_p, ct.c_int, ct.POINTER(ct.c_uint8)]
         l.poa_consensus.argtypes = [ct.c_void_p, ct.c_int,
                                     ct.POINTER(ct.c_uint8)]
+        l.poa_msa_batch.argtypes = [ct.c_char_p, ct.POINTER(ct.c_int64),
+                                    ct.c_int64, ct.POINTER(ct.c_int64),
+                                    ct.c_int64, ct.POINTER(ct.c_uint8),
+                                    ct.c_int64, ct.POINTER(ct.c_int64),
+                                    ct.c_int32]
         _lib = l
     return _lib
 
@@ -138,3 +143,53 @@ def poa_native(sequences: list[str]):
     for s in sequences:
         g.add_sequence(s)
     return g.consensus(), g.msa()
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+
+def poa_msa_batch_native(seq_lists: list[list[str]], threads: int = 8):
+    """Batch MSA across windows with the C++ engine's internal thread pool
+    — one ctypes call for the whole batch (no Python thread fan-out).
+
+    Returns [(consensus, msa_rows)] per window, identical to poa_native."""
+    l = lib()
+    flat: list[bytes] = []
+    win_off = np.zeros(len(seq_lists) + 1, np.int64)
+    for w, seqs in enumerate(seq_lists):
+        flat.extend(s.encode() for s in seqs)
+        win_off[w + 1] = len(flat)
+    seq_off = np.zeros(len(flat) + 1, np.int64)
+    for i, b in enumerate(flat):
+        seq_off[i + 1] = seq_off[i] + len(b)
+    blob = b"".join(flat)
+
+    def run(cap):
+        out = np.zeros(len(seq_lists) * cap, np.uint8)
+        out_len = np.zeros(len(seq_lists), np.int64)
+        rc = l.poa_msa_batch(blob, _i64p(seq_off), len(flat), _i64p(win_off),
+                             len(seq_lists), _u8p(out), cap, _i64p(out_len),
+                             int(threads))
+        return rc, out, out_len
+
+    # realistic MSA width ~ 2x longest read; retry with the safe bound
+    # (sum of all bases: no-fusion worst case) on overflow
+    est, safe = 1024, 1024
+    for w, seqs in enumerate(seq_lists):
+        total = int(seq_off[win_off[w + 1]] - seq_off[win_off[w]])
+        longest = max((len(s) for s in seqs), default=0)
+        est = max(est, (len(seqs) + 2) * (2 * longest + 260))
+        safe = max(safe, (len(seqs) + 2) * (total + 2))
+    rc, out, out_len = run(est)
+    if rc != 0:
+        rc, out, out_len = run(safe)
+        if rc != 0:
+            raise RuntimeError("poa_msa_batch overflow at safe capacity")
+    cap = out.size // len(seq_lists)
+    results = []
+    for w in range(len(seq_lists)):
+        txt = out[w * cap: w * cap + out_len[w]].tobytes().decode()
+        lines = txt.split("\n")
+        results.append((lines[0], lines[1:-1]))
+    return results

@@ -49,10 +49,9 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False,
     Returns [(consensus, msa_rows)] per window."""
     if not use_device:
         if len(seq_lists) > 1:
-            from ..native.poa import lib
-            lib()  # initialize the CDLL before fanning out threads
-            with ThreadPoolExecutor(max_workers=threads or HOST_THREADS) as ex:
-                return list(ex.map(poa_native, seq_lists))
+            from ..native.poa import poa_msa_batch_native
+            return poa_msa_batch_native(seq_lists,
+                                        threads=threads or HOST_THREADS)
         return [poa_native(s) for s in seq_lists]
     graphs = [NativePoaGraph() for _ in seq_lists]
     host_only = [False] * len(seq_lists)
