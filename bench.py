@@ -116,17 +116,47 @@ def measure_reference_baseline(budget_s=60.0):
     return per_proc * min(6, os.cpu_count() or 1)
 
 
-def main():
+def run_measurement(n_windows=N_WINDOWS):
     rng = np.random.default_rng(0)
-    wins = make_window_payloads(N_WINDOWS, rng)
+    wins = make_window_payloads(n_windows, rng)
     ours = measure_ours(wins)
     base = measure_reference_baseline()
-    print(json.dumps({
+    return {
         "metric": "localGraph windows/s (300bp, 24 reads; native POA + TPU EM)",
         "value": round(ours, 2),
         "unit": "windows/s",
         "vs_baseline": round(ours / base, 2),
-    }))
+    }
+
+
+def main():
+    if "--inner" in sys.argv:
+        small = "--small" in sys.argv
+        print(json.dumps(run_measurement(64 if small else N_WINDOWS)))
+        return
+    # watchdog wrapper: the tunneled TPU backend can wedge (a process killed
+    # mid-device-call jams the queue); never let that hang the driver.
+    import subprocess
+    env = dict(os.environ)
+    for args, extra_env, tmo in (
+            (["--inner"], {}, 900),
+            (["--inner", "--small"], {"JAX_PLATFORMS": "cpu"}, 1800)):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                *args],
+                               capture_output=True, text=True,
+                               env={**env, **extra_env}, timeout=tmo)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    out = json.loads(line)
+                    if extra_env:
+                        out["metric"] += " [CPU fallback: TPU tunnel wedged]"
+                    print(json.dumps(out))
+                    return
+        except subprocess.TimeoutExpired:
+            continue
+    print(json.dumps({"metric": "localGraph windows/s", "value": 0.0,
+                      "unit": "windows/s", "vs_baseline": 0.0}))
 
 
 if __name__ == "__main__":

@@ -186,6 +186,23 @@ def cmd_call_somatic_sv(args):
 def cmd_viz(args):
     from .viz.scopeviz import draw_pipe
     w = args.window
+    if os.path.exists(w):  # a window bed: render every row (ScopeVIZ.main)
+        outs = []
+        for line in open(w):
+            if not line.strip() or line.startswith("chrom\t"):
+                continue
+            try:
+                outs.append(draw_pipe(line, args.Reference,
+                                      args.Tumorbam.split(","),
+                                      args.Normalbam.split(","),
+                                      args.TSampleID.split(","),
+                                      args.NSampleID.split(","), args.savedir,
+                                      offset=args.offset, mapq=args.mapQ,
+                                      graph=not args.no_graph))
+            except Exception as exc:
+                log.warning("viz: skipping %r (%s)", line.strip(), exc)
+        log.info("viz: %d figures", len(outs))
+        return outs
     if ":" in w:
         chrom, span = w.split(":")
         start, end = span.split("-")
