@@ -265,10 +265,15 @@ def run_aln_feature(raw_bed_path: str, genome_windows, t_table, n_table,
     comp.to_csv(somatic_bed, sep="\t", index=False, header=False)
 
     em2 = raw[raw.Label == "NormalOutput|EMOutput"].drop_duplicates().copy()
-    em2["window"] = (em2.chrom + "_" + em2.start.astype(str) + "-"
-                     + em2.end.astype(str))
-    em2.index = em2.window
-    windows = np.intersect1d(comp.index.to_numpy(), em2.index.to_numpy())
+    if len(em2):
+        em2["window"] = (em2.chrom.astype(object) + "_"
+                         + em2.start.astype(str) + "-"
+                         + em2.end.astype(str))
+        em2.index = em2.window
+        windows = np.intersect1d(comp.index.to_numpy(),
+                                 em2.index.to_numpy())
+    else:
+        windows = np.empty(0, dtype=object)
 
     rows = []
     for w in windows:

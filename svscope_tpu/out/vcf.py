@@ -49,7 +49,16 @@ def write_inner_header(fai_path: str, out_vcf: str, fasta: str):
 
 def bed2vcf(raw_bed: str, somatic_bed: str, model_tsv: str, out_vcf: str,
             tumor_id: str, reference: str) -> str:
-    """bed2vcf equivalent (src/OutVCF.py:38-77)."""
+    """bed2vcf equivalent (src/OutVCF.py:38-77).
+
+    Zero-call runs produce a header-only VCF (the reference crashes on the
+    empty Somatic.bed read — handled gracefully here)."""
+    if os.path.getsize(somatic_bed) == 0:
+        write_inner_header(reference + ".fai", out_vcf, reference)
+        with open(out_vcf, "a") as vcf:
+            vcf.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                      f"FORMAT\t{tumor_id}\n")
+        return out_vcf
     df_raw = pd.read_csv(raw_bed, sep="\t", header=None).drop_duplicates()
     df_raw["window"] = (df_raw[0] + "_" + df_raw[1].astype(str) + "-"
                         + df_raw[2].astype(str))

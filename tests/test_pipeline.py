@@ -141,3 +141,25 @@ def test_multi_sample_bams(tmp_path):
     # somatic reads carry per-sample labels A_tumor / B_tumor
     labels = {x.split("|")[0] for x in em[0][4].replace(";", ",").split(",")}
     assert labels == {"A_tumor", "B_tumor"}
+
+
+def test_empty_run_no_svs(tmp_path):
+    """A pair with zero somatic SVs flows through the full pipeline into
+    header-only VCFs (the reference crashes on the empty Somatic.bed)."""
+    d = str(tmp_path)
+    wins = [dict(start=5000, end=5100, svtype=None, svlen=0, som_reads=0,
+                 depth=10)]
+    ref, tumor, normal, recs, _ = make_test_pair(d, seed=17, ref_len=40_000,
+                                                 windows=wins)
+    repeats = os.path.join(d, "repeats.bed")
+    open(repeats, "w").close()
+    savedir = os.path.join(d, "out")
+    main(["DataPrepare", "-D", repeats, "-T", tumor, "-N", normal,
+          "-t", "S", "-n", "S", "-r", ref, "-s", savedir,
+          "--selectwindows", "--FullProcess"])
+    for name in ("S.vcf", "S.mergedSomatic.vcf"):
+        body = [l for l in open(os.path.join(savedir, name))
+                if not l.startswith("#")]
+        assert body == []
+    adjusted = main(["adjustVCF", "-s", savedir])
+    assert os.path.exists(adjusted)
