@@ -368,7 +368,6 @@ def find_candidate_sv_windows(t_table: AlignmentTable, n_table: AlignmentTable,
         large = pd.concat([no_hit, b], axis=0)
         if hits:
             inter_rows = []
-            hit_inner = set()
             for gi, bi in hits:
                 grow = g.loc[gi]
                 irow = inner.loc[bi]
@@ -379,10 +378,20 @@ def find_candidate_sv_windows(t_table: AlignmentTable, n_table: AlignmentTable,
                                    irow.reads.split(",")))
                 inter_rows.append([grow.chrom, int(start), int(end),
                                    len(reads), ",".join(reads), grow.BPType])
-                hit_inner.add(bi)
             span_windows.extend(inter_rows)
-            span_windows.extend(inner.loc[[i for i in inner.index
-                                           if i not in hit_inner]].values.tolist())
+            # inner windows overlapping ANY merged window are subsumed
+            # (`intersect -a inner -b merged -wa -v`, :520/:554)
+            inter_df = pd.DataFrame(
+                [(r[0], r[1], r[2]) for r in inter_rows],
+                columns=["chrom", "start", "end"])
+            for chrom in sorted(inner.chrom.unique()):
+                im = inner[inner.chrom == chrom]
+                mm = inter_df[inter_df.chrom == chrom]
+                mask = iv.any_overlap_mask(im.start.to_numpy(),
+                                           im.end.to_numpy(),
+                                           mm.start.to_numpy(),
+                                           mm.end.to_numpy())
+                span_windows.extend(im[~mask].values.tolist())
         else:
             if bptype == "DEL":
                 span_windows.extend(inner.values.tolist())
