@@ -18,13 +18,17 @@
 #include <string>
 #include <vector>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 struct Graph {
   std::vector<char> chars;
   std::vector<std::vector<int>> in_edges;   // tails, insertion order
   std::vector<std::vector<int>> out_edges;  // heads, insertion order
-  std::map<std::pair<int, int>, int> edge_w;
+  std::vector<std::vector<int>> out_w;      // weights parallel to out_edges
   std::vector<std::vector<int>> aligned;    // same-column nodes
   std::vector<int> seq_begin;
   std::vector<std::vector<int>> paths;      // per-sequence node path
@@ -35,61 +39,79 @@ struct Graph {
     chars.push_back(c);
     in_edges.emplace_back();
     out_edges.emplace_back();
+    out_w.emplace_back();
     aligned.emplace_back();
     order_dirty = true;
     return (int)chars.size() - 1;
   }
 
   void add_edge(int tail, int head) {
-    auto key = std::make_pair(tail, head);
-    auto it = edge_w.find(key);
-    if (it != edge_w.end()) {
-      it->second += 1;
-    } else {
-      edge_w[key] = 1;
-      out_edges[tail].push_back(head);
-      in_edges[head].push_back(tail);
-      order_dirty = true;
+    auto& heads = out_edges[tail];
+    for (size_t k = 0; k < heads.size(); k++) {
+      if (heads[k] == head) {
+        out_w[tail][k]++;
+        return;
+      }
     }
+    heads.push_back(head);
+    out_w[tail].push_back(1);
+    in_edges[head].push_back(tail);
+    order_dirty = true;
+  }
+
+  int edge_weight(int tail, int head) const {
+    const auto& heads = out_edges[tail];
+    for (size_t k = 0; k < heads.size(); k++)
+      if (heads[k] == head) return out_w[tail][k];
+    return 0;
   }
 
   int n_nodes() const { return (int)chars.size(); }
 
   // topological order with aligned groups adjacent; group ids assigned by
   // first-member discovery in node-id order; Kahn with min-heap on group id
-  // (mirrors PoaGraph.topo_order exactly).
+  // (mirrors PoaGraph.topo_order exactly).  Allocation-free rebuild:
+  // flat member lists + stamp-based cross-group edge dedupe.
   const std::vector<int>& topo_order() {
     if (!order_dirty) return rank;
     int n = n_nodes();
-    std::vector<int> group(n, -1);
-    std::vector<std::vector<int>> groups;
+    thread_local std::vector<int> group, members_flat, g_off, indeg, stamp,
+        gout_flat, gout_off;
+    group.assign(n, -1);
+    members_flat.clear();
+    g_off.clear();
     for (int v = 0; v < n; v++) {
       if (group[v] >= 0) continue;
-      std::vector<int> members;
-      members.push_back(v);
-      for (int a : aligned[v]) members.push_back(a);
-      std::sort(members.begin(), members.end());
-      members.erase(std::unique(members.begin(), members.end()),
-                    members.end());
-      int gid = (int)groups.size();
-      for (int m : members) group[m] = gid;
-      groups.push_back(members);
+      int gid = (int)g_off.size();
+      g_off.push_back((int)members_flat.size());
+      size_t first = members_flat.size();
+      members_flat.push_back(v);
+      for (int a : aligned[v]) members_flat.push_back(a);
+      std::sort(members_flat.begin() + first, members_flat.end());
+      members_flat.erase(std::unique(members_flat.begin() + first,
+                                     members_flat.end()),
+                         members_flat.end());
+      for (size_t k = first; k < members_flat.size(); k++)
+        group[members_flat[k]] = gid;
     }
-    int ng = (int)groups.size();
-    std::vector<int> indeg(ng, 0);
-    std::vector<std::vector<int>> gout(ng);
-    {
-      // dedupe cross-group edges
-      std::vector<std::vector<bool>> seen;  // too big; use set per group
-      std::vector<std::map<int, bool>> mark(ng);
-      for (auto& kv : edge_w) {
-        int gt = group[kv.first.first], gh = group[kv.first.second];
-        if (gt != gh && !mark[gt].count(gh)) {
-          mark[gt][gh] = true;
-          gout[gt].push_back(gh);
-          indeg[gh]++;
+    int ng = (int)g_off.size();
+    g_off.push_back((int)members_flat.size());
+    indeg.assign(ng, 0);
+    stamp.assign(ng, -1);
+    gout_flat.clear();
+    gout_off.assign(ng + 1, 0);
+    for (int g = 0; g < ng; g++) {
+      for (int k = g_off[g]; k < g_off[g + 1]; k++) {
+        for (int h : out_edges[members_flat[k]]) {
+          int gh = group[h];
+          if (gh != g && stamp[gh] != g) {
+            stamp[gh] = g;
+            gout_flat.push_back(gh);
+            indeg[gh]++;
+          }
         }
       }
+      gout_off[g + 1] = (int)gout_flat.size();
     }
     std::priority_queue<int, std::vector<int>, std::greater<int>> ready;
     for (int g = 0; g < ng; g++)
@@ -99,10 +121,10 @@ struct Graph {
     while (!ready.empty()) {
       int g = ready.top();
       ready.pop();
-      for (int m : groups[g]) rank.push_back(m);
-      std::sort(gout[g].begin(), gout[g].end());
-      for (int h : gout[g])
-        if (--indeg[h] == 0) ready.push(h);
+      for (int k = g_off[g]; k < g_off[g + 1]; k++)
+        rank.push_back(members_flat[k]);
+      for (int k = gout_off[g]; k < gout_off[g + 1]; k++)
+        if (--indeg[gout_flat[k]] == 0) ready.push(gout_flat[k]);
     }
     order_dirty = false;
     return rank;
@@ -113,6 +135,48 @@ constexpr int kMatch = 5;
 constexpr int kMismatch = -4;
 constexpr int kGap = -8;
 constexpr int32_t kNeg = -(1 << 29);
+
+// In-row gap chain Hi[j] = max(b[j], Hi[j-1] + kGap) for j in 1..L with
+// Hi[0] = b[0], rewritten as a prefix max:
+//   Hi[j] = max_{k<=j}(b[k] - kGap*k) + kGap*j
+// which vectorizes (the serial form carries a loop dependency).  The
+// offsets b[k] - kGap*k stay far from int32 limits (|kGap|*L ~ 1e5).
+inline void gap_chain(int32_t* Hi, const int32_t* b, int L) {
+#ifdef __AVX512F__
+  int n = L + 1;
+  const __m512i kneg = _mm512_set1_epi32(kNeg);
+  const __m512i idx0 = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                         11, 12, 13, 14, 15);
+  const __m512i gstep = _mm512_set1_epi32(-kGap);      // +8 per lane index
+  const __m512i g16 = _mm512_set1_epi32(-kGap * 16);
+  const __m512i last = _mm512_set1_epi32(15);
+  __m512i off = _mm512_mullo_epi32(idx0, gstep);       // -kGap * k
+  __m512i carry = kneg;
+  int j = 0;
+  for (; j + 16 <= n; j += 16) {
+    __m512i c = _mm512_add_epi32(_mm512_loadu_si512(b + j), off);
+    // in-register prefix max (lane shifts towards higher index)
+    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 15));
+    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 14));
+    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 12));
+    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 8));
+    c = _mm512_max_epi32(c, carry);
+    carry = _mm512_permutexvar_epi32(last, c);
+    _mm512_storeu_si512(Hi + j, _mm512_sub_epi32(c, off));
+    off = _mm512_add_epi32(off, g16);
+  }
+  if (j < n) {
+    int32_t prev = j ? Hi[j - 1] : kNeg;
+    for (; j < n; j++) {
+      Hi[j] = std::max(b[j], prev + kGap);
+      prev = Hi[j];
+    }
+  }
+#else
+  Hi[0] = b[0];
+  for (int j = 1; j <= L; j++) Hi[j] = std::max(b[j], Hi[j - 1] + kGap);
+#endif
+}
 
 // NW graph-vs-seq alignment, identical to PoaGraph.align.
 // Returns pairs (node_id or -1, seq_pos or -1) in order.
@@ -125,40 +189,78 @@ void align_seq(Graph& g, const char* seq, int L,
     for (int j = 0; j < L; j++) aln.emplace_back(-1, j);
     return;
   }
-  std::vector<int> pos_of(g.n_nodes());
+  thread_local std::vector<int> pos_of;
+  pos_of.resize(g.n_nodes());
   for (int i = 0; i < N; i++) pos_of[order[i]] = i;
-  std::vector<int32_t> H((size_t)(N + 1) * (L + 1));
+  thread_local std::vector<int32_t> H;
+  H.resize((size_t)(N + 1) * (L + 1) + 16);  // +16: AVX overread slack
   for (int j = 0; j <= L; j++) H[j] = kGap * j;
   std::vector<int> prow;  // pred rows (+1), reused
-  std::vector<int32_t> sub(L + 1), base(L + 1);
+  thread_local std::vector<int32_t> base;
+  base.resize(L + 1 + 16);
+  // per-character substitution rows, computed once per distinct node char:
+  // subrow(c)[j] = (seq[j-1] == c) ? kMatch : kMismatch  for j in 1..L
+  thread_local std::vector<int32_t> subrows;
+  subrows.resize(8 * (size_t)(L + 1 + 16));
+  char sub_char[8];
+  int n_sub = 0;
+  auto subrow = [&](char c) -> const int32_t* {
+    for (int k = 0; k < n_sub; k++)
+      if (sub_char[k] == c) return &subrows[k * (size_t)(L + 1 + 16)];
+    int k = n_sub < 8 ? n_sub++ : 7;
+    sub_char[k] = c;
+    int32_t* S = &subrows[k * (size_t)(L + 1 + 16)];
+    for (int j = 1; j <= L; j++)
+      S[j] = (seq[j - 1] == c) ? kMatch : kMismatch;
+    return S;
+  };
   for (int i = 1; i <= N; i++) {
     int node = order[i - 1];
     prow.clear();
     for (int p : g.in_edges[node]) prow.push_back(pos_of[p] + 1);
     if (prow.empty()) prow.push_back(0);
     int32_t* Hi = &H[(size_t)i * (L + 1)];
-    char c = g.chars[node];
-    // phase 1 (vectorizable): base[j] = max over preds of
-    //   max(Hp[j-1] + sub[j], Hp[j] + gap)
-    for (int j = 1; j <= L; j++)
-      sub[j] = (seq[j - 1] == c) ? kMatch : kMismatch;
+    const int32_t* S = subrow(g.chars[node]);
+    // phase 1: base[j] = max over preds of max(Hp[j-1] + sub[j], Hp[j] + gap)
     {
       const int32_t* Hp = &H[(size_t)prow[0] * (L + 1)];
-      base[0] = Hp[0];
-      for (int j = 1; j <= L; j++)
-        base[j] = std::max(Hp[j - 1] + sub[j], Hp[j] + kGap);
+      base[0] = Hp[0] + kGap;
+#ifdef __AVX512F__
+      const __m512i gv = _mm512_set1_epi32(kGap);
+      for (int j = 1; j <= L; j += 16) {
+        __m512i d = _mm512_add_epi32(
+            _mm512_loadu_si512(Hp + j - 1),
+            _mm512_loadu_si512(S + j));
+        __m512i u = _mm512_add_epi32(_mm512_loadu_si512(Hp + j), gv);
+        _mm512_storeu_si512(&base[j], _mm512_max_epi32(d, u));
+      }
       for (size_t k = 1; k < prow.size(); k++) {
         const int32_t* Hq = &H[(size_t)prow[k] * (L + 1)];
-        base[0] = std::max(base[0], Hq[0]);
+        base[0] = std::max(base[0], Hq[0] + kGap);
+        for (int j = 1; j <= L; j += 16) {
+          __m512i d = _mm512_add_epi32(
+              _mm512_loadu_si512(Hq + j - 1),
+              _mm512_loadu_si512(S + j));
+          __m512i u = _mm512_add_epi32(_mm512_loadu_si512(Hq + j), gv);
+          __m512i b = _mm512_loadu_si512(&base[j]);
+          _mm512_storeu_si512(&base[j],
+                              _mm512_max_epi32(b, _mm512_max_epi32(d, u)));
+        }
+      }
+#else
+      for (int j = 1; j <= L; j++)
+        base[j] = std::max(Hp[j - 1] + S[j], Hp[j] + kGap);
+      for (size_t k = 1; k < prow.size(); k++) {
+        const int32_t* Hq = &H[(size_t)prow[k] * (L + 1)];
+        base[0] = std::max(base[0], Hq[0] + kGap);
         for (int j = 1; j <= L; j++)
           base[j] = std::max(base[j],
-                             std::max(Hq[j - 1] + sub[j], Hq[j] + kGap));
+                             std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
       }
+#endif
     }
-    // phase 2 (scalar): in-row gap chain
-    Hi[0] = base[0] + kGap;
-    for (int j = 1; j <= L; j++)
-      Hi[j] = std::max(base[j], Hi[j - 1] + kGap);
+    // phase 2: in-row gap chain as a vectorized prefix max
+    gap_chain(Hi, base.data(), L);
   }
   // best sink at column L
   int best_i = -1;
@@ -285,7 +387,7 @@ std::string consensus(Graph& g) {
     bool have = false;
     int bw = 0;
     for (int t : g.in_edges[v]) {
-      int w = g.edge_w.at({t, v});
+      int w = g.edge_weight(t, v);
       if (!have || w > bw || (w == bw && score[t] > score[best_in[v]])) {
         have = true;
         bw = w;
@@ -305,10 +407,13 @@ std::string consensus(Graph& g) {
   while (!g.out_edges[v].empty()) {
     const auto& heads = g.out_edges[v];
     int bh = heads[0];
-    for (int h : heads) {
-      int wh = g.edge_w.at({v, h});
-      int wb = g.edge_w.at({v, bh});
-      if (wh > wb || (wh == wb && score[h] > score[bh])) bh = h;
+    int wb = g.out_w[v][0];
+    for (size_t k = 1; k < heads.size(); k++) {
+      int wh = g.out_w[v][k];
+      if (wh > wb || (wh == wb && score[heads[k]] > score[bh])) {
+        bh = heads[k];
+        wb = wh;
+      }
     }
     v = bh;
     path.push_back(v);
