@@ -136,48 +136,6 @@ constexpr int kMismatch = -4;
 constexpr int kGap = -8;
 constexpr int32_t kNeg = -(1 << 29);
 
-// In-row gap chain Hi[j] = max(b[j], Hi[j-1] + kGap) for j in 1..L with
-// Hi[0] = b[0], rewritten as a prefix max:
-//   Hi[j] = max_{k<=j}(b[k] - kGap*k) + kGap*j
-// which vectorizes (the serial form carries a loop dependency).  The
-// offsets b[k] - kGap*k stay far from int32 limits (|kGap|*L ~ 1e5).
-inline void gap_chain(int32_t* Hi, const int32_t* b, int L) {
-#ifdef __AVX512F__
-  int n = L + 1;
-  const __m512i kneg = _mm512_set1_epi32(kNeg);
-  const __m512i idx0 = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
-                                         11, 12, 13, 14, 15);
-  const __m512i gstep = _mm512_set1_epi32(-kGap);      // +8 per lane index
-  const __m512i g16 = _mm512_set1_epi32(-kGap * 16);
-  const __m512i last = _mm512_set1_epi32(15);
-  __m512i off = _mm512_mullo_epi32(idx0, gstep);       // -kGap * k
-  __m512i carry = kneg;
-  int j = 0;
-  for (; j + 16 <= n; j += 16) {
-    __m512i c = _mm512_add_epi32(_mm512_loadu_si512(b + j), off);
-    // in-register prefix max (lane shifts towards higher index)
-    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 15));
-    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 14));
-    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 12));
-    c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 8));
-    c = _mm512_max_epi32(c, carry);
-    carry = _mm512_permutexvar_epi32(last, c);
-    _mm512_storeu_si512(Hi + j, _mm512_sub_epi32(c, off));
-    off = _mm512_add_epi32(off, g16);
-  }
-  if (j < n) {
-    int32_t prev = j ? Hi[j - 1] : kNeg;
-    for (; j < n; j++) {
-      Hi[j] = std::max(b[j], prev + kGap);
-      prev = Hi[j];
-    }
-  }
-#else
-  Hi[0] = b[0];
-  for (int j = 1; j <= L; j++) Hi[j] = std::max(b[j], Hi[j - 1] + kGap);
-#endif
-}
-
 // NW graph-vs-seq alignment, identical to PoaGraph.align.
 // Returns pairs (node_id or -1, seq_pos or -1) in order.
 void align_seq(Graph& g, const char* seq, int L,
@@ -193,11 +151,21 @@ void align_seq(Graph& g, const char* seq, int L,
   pos_of.resize(g.n_nodes());
   for (int i = 0; i < N; i++) pos_of[order[i]] = i;
   thread_local std::vector<int32_t> H;
-  H.resize((size_t)(N + 1) * (L + 1) + 16);  // +16: AVX overread slack
-  for (int j = 0; j <= L; j++) H[j] = kGap * j;
-  std::vector<int> prow;  // pred rows (+1), reused
-  thread_local std::vector<int32_t> base;
-  base.resize(L + 1 + 16);
+  // +16 both ends: AVX overread/underread slack (block 0 loads Hp[-1])
+  H.resize((size_t)(N + 1) * (L + 1) + 32);
+  int32_t* Hb = H.data() + 16;
+  for (int j = 0; j <= L; j++) Hb[j] = kGap * j;
+  // flat predecessor rank lists (+1 for the virtual row), one pass
+  thread_local std::vector<int32_t> pred_flat;
+  thread_local std::vector<int> pred_off;
+  pred_off.resize(N + 1);
+  pred_flat.clear();
+  for (int i = 0; i < N; i++) {
+    pred_off[i] = (int)pred_flat.size();
+    for (int p : g.in_edges[order[i]]) pred_flat.push_back(pos_of[p] + 1);
+    if (pred_flat.size() == (size_t)pred_off[i]) pred_flat.push_back(0);
+  }
+  pred_off[N] = (int)pred_flat.size();
   // per-character substitution rows, computed once per distinct node char:
   // subrow(c)[j] = (seq[j-1] == c) ? kMatch : kMismatch  for j in 1..L
   thread_local std::vector<int32_t> subrows;
@@ -210,57 +178,90 @@ void align_seq(Graph& g, const char* seq, int L,
     int k = n_sub < 8 ? n_sub++ : 7;
     sub_char[k] = c;
     int32_t* S = &subrows[k * (size_t)(L + 1 + 16)];
+    S[0] = 0;
     for (int j = 1; j <= L; j++)
       S[j] = (seq[j - 1] == c) ? kMatch : kMismatch;
     return S;
   };
-  for (int i = 1; i <= N; i++) {
-    int node = order[i - 1];
-    prow.clear();
-    for (int p : g.in_edges[node]) prow.push_back(pos_of[p] + 1);
-    if (prow.empty()) prow.push_back(0);
-    int32_t* Hi = &H[(size_t)i * (L + 1)];
-    const int32_t* S = subrow(g.chars[node]);
-    // phase 1: base[j] = max over preds of max(Hp[j-1] + sub[j], Hp[j] + gap)
-    {
-      const int32_t* Hp = &H[(size_t)prow[0] * (L + 1)];
-      base[0] = Hp[0] + kGap;
+  const size_t stride = (size_t)(L + 1);
+  const int n = L + 1;
 #ifdef __AVX512F__
-      const __m512i gv = _mm512_set1_epi32(kGap);
-      for (int j = 1; j <= L; j += 16) {
-        __m512i d = _mm512_add_epi32(
-            _mm512_loadu_si512(Hp + j - 1),
-            _mm512_loadu_si512(S + j));
-        __m512i u = _mm512_add_epi32(_mm512_loadu_si512(Hp + j), gv);
-        _mm512_storeu_si512(&base[j], _mm512_max_epi32(d, u));
-      }
-      for (size_t k = 1; k < prow.size(); k++) {
-        const int32_t* Hq = &H[(size_t)prow[k] * (L + 1)];
-        base[0] = std::max(base[0], Hq[0] + kGap);
-        for (int j = 1; j <= L; j += 16) {
-          __m512i d = _mm512_add_epi32(
-              _mm512_loadu_si512(Hq + j - 1),
-              _mm512_loadu_si512(S + j));
-          __m512i u = _mm512_add_epi32(_mm512_loadu_si512(Hq + j), gv);
-          __m512i b = _mm512_loadu_si512(&base[j]);
-          _mm512_storeu_si512(&base[j],
-                              _mm512_max_epi32(b, _mm512_max_epi32(d, u)));
-        }
-      }
-#else
-      for (int j = 1; j <= L; j++)
-        base[j] = std::max(Hp[j - 1] + S[j], Hp[j] + kGap);
-      for (size_t k = 1; k < prow.size(); k++) {
-        const int32_t* Hq = &H[(size_t)prow[k] * (L + 1)];
-        base[0] = std::max(base[0], Hq[0] + kGap);
-        for (int j = 1; j <= L; j++)
-          base[j] = std::max(base[j],
-                             std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
-      }
+  const __m512i kneg = _mm512_set1_epi32(kNeg);
+  const __m512i gv = _mm512_set1_epi32(kGap);
+  const __m512i idx0 = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                         11, 12, 13, 14, 15);
+  const __m512i g16 = _mm512_set1_epi32(-kGap * 16);
+  const __m512i lastlane = _mm512_set1_epi32(15);
+  const __m512i off0 = _mm512_mullo_epi32(idx0, _mm512_set1_epi32(-kGap));
 #endif
+  for (int i = 1; i <= N; i++) {
+    const int32_t* preds = &pred_flat[pred_off[i - 1]];
+    const int npred = pred_off[i] - pred_off[i - 1];
+    int32_t* Hi = Hb + (size_t)i * stride;
+    const int32_t* S = subrow(g.chars[order[i - 1]]);
+    const int32_t* Hp0 = Hb + (size_t)preds[0] * stride;
+    // base[0] = max over preds of Hp[0] + kGap (the j=0 gap-from-pred cell)
+    int32_t base0 = Hp0[0] + kGap;
+    for (int k = 1; k < npred; k++)
+      base0 = std::max(base0, Hb[(size_t)preds[k] * stride] + kGap);
+#ifdef __AVX512F__
+    // fused row update: base[j] = max over preds of
+    //   max(Hp[j-1] + sub[j], Hp[j] + gap)
+    // then the in-row gap chain as a prefix max in offset space
+    //   Hi[j] = max_{k<=j}(base[k] - kGap*k) + kGap*j.
+    __m512i off = off0;
+    __m512i carry = kneg;
+    int j = 0;
+    for (; j + 16 <= n; j += 16) {
+      __m512i d = _mm512_add_epi32(_mm512_loadu_si512(Hp0 + j - 1),
+                                   _mm512_loadu_si512(S + j));
+      __m512i u = _mm512_add_epi32(_mm512_loadu_si512(Hp0 + j), gv);
+      __m512i b = _mm512_max_epi32(d, u);
+      for (int k = 1; k < npred; k++) {
+        const int32_t* Hq = Hb + (size_t)preds[k] * stride;
+        __m512i d2 = _mm512_add_epi32(_mm512_loadu_si512(Hq + j - 1),
+                                      _mm512_loadu_si512(S + j));
+        __m512i u2 = _mm512_add_epi32(_mm512_loadu_si512(Hq + j), gv);
+        b = _mm512_max_epi32(b, _mm512_max_epi32(d2, u2));
+      }
+      if (j == 0)
+        b = _mm512_mask_mov_epi32(b, 1, _mm512_set1_epi32(base0));
+      __m512i c = _mm512_add_epi32(b, off);
+      c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 15));
+      c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 14));
+      c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 12));
+      c = _mm512_max_epi32(c, _mm512_alignr_epi32(c, kneg, 8));
+      c = _mm512_max_epi32(c, carry);
+      carry = _mm512_permutexvar_epi32(lastlane, c);
+      _mm512_storeu_si512(Hi + j, _mm512_sub_epi32(c, off));
+      off = _mm512_add_epi32(off, g16);
     }
-    // phase 2: in-row gap chain as a vectorized prefix max
-    gap_chain(Hi, base.data(), L);
+    if (j < n) {
+      int32_t prev = j ? Hi[j - 1] : kNeg;
+      for (; j < n; j++) {
+        int32_t b = j == 0 ? base0
+                           : std::max(Hp0[j - 1] + S[j], Hp0[j] + kGap);
+        for (int k = 1; k < npred && j > 0; k++) {
+          const int32_t* Hq = Hb + (size_t)preds[k] * stride;
+          b = std::max(b, std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
+        }
+        Hi[j] = std::max(b, prev + kGap);
+        prev = Hi[j];
+      }
+    }
+#else
+    int32_t prev = kNeg;
+    for (int j = 0; j <= L; j++) {
+      int32_t b = j == 0 ? base0
+                         : std::max(Hp0[j - 1] + S[j], Hp0[j] + kGap);
+      for (int k = 1; k < npred && j > 0; k++) {
+        const int32_t* Hq = Hb + (size_t)preds[k] * stride;
+        b = std::max(b, std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
+      }
+      Hi[j] = std::max(b, prev + kGap);
+      prev = Hi[j];
+    }
+#endif
   }
   // best sink at column L
   int best_i = -1;
@@ -268,7 +269,7 @@ void align_seq(Graph& g, const char* seq, int L,
   for (int i = 1; i <= N; i++) {
     int node = order[i - 1];
     if (g.out_edges[node].empty()) {
-      int32_t v = H[(size_t)i * (L + 1) + L];
+      int32_t v = Hb[(size_t)i * stride + L];
       if (best_i < 0 || v > best) {
         best = v;
         best_i = i;
@@ -284,14 +285,14 @@ void align_seq(Graph& g, const char* seq, int L,
       continue;
     }
     int node = order[i - 1];
-    prow.clear();
-    for (int p : g.in_edges[node]) prow.push_back(pos_of[p] + 1);
-    if (prow.empty()) prow.push_back(0);
-    int32_t hij = H[(size_t)i * (L + 1) + j];
+    const int32_t* preds = &pred_flat[pred_off[i - 1]];
+    const int npred = pred_off[i] - pred_off[i - 1];
+    int32_t hij = Hb[(size_t)i * stride + j];
     int sub = (seq[j - 1] == g.chars[node]) ? kMatch : kMismatch;
     bool moved = false;
-    for (int p : prow) {
-      if (hij == H[(size_t)p * (L + 1) + j - 1] + sub) {
+    for (int k = 0; k < npred; k++) {
+      int p = preds[k];
+      if (hij == Hb[(size_t)p * stride + j - 1] + sub) {
         rev.emplace_back(node, j - 1);
         i = p;
         j--;
@@ -300,8 +301,9 @@ void align_seq(Graph& g, const char* seq, int L,
       }
     }
     if (moved) continue;
-    for (int p : prow) {
-      if (hij == H[(size_t)p * (L + 1) + j] + kGap) {
+    for (int k = 0; k < npred; k++) {
+      int p = preds[k];
+      if (hij == Hb[(size_t)p * stride + j] + kGap) {
         rev.emplace_back(node, -1);
         i = p;
         moved = true;

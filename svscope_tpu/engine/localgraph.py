@@ -124,14 +124,11 @@ def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa,
     return out
 
 
-def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
-                         readcutoff: int = 3, hcutoff: int = 3,
-                         scutoff: float = 0.05, em_dtype=None,
-                         device_poa: bool = False,
-                         threads: int | None = None) -> list[list]:
-    """Batched Decision over prepared window payloads: gates -> batched POA
-    MSA -> feature selection -> batched EM -> labeling + batched consensus.
-    Row-for-row equivalent to decision() over each window (tested)."""
+def _stage_a(wins: list[WindowData], t_label: str, hcutoff: int,
+             scutoff: float, device_poa: bool, threads: int | None):
+    """Host phase A: gates -> batched POA MSA -> feature selection.
+
+    Returns (entries, ready) where entries[i] = [win, ready_index | None]."""
     entries = []     # [win, state]; state None=base | ready-index
     msa_jobs = []
     pending = []
@@ -154,6 +151,12 @@ def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
         if feat.shape[0] != 0 and feat.shape[1] >= 10:
             entries[ei][1] = len(ready)
             ready.append((win, enc, win.read_ids, feat))
+    return entries, ready
+
+
+def _finish_chunk(entries, ready, t_label, readcutoff, em_dtype, device_poa,
+                  threads):
+    """Phases B+C for one prepared chunk: batched EM then emit."""
     feats = [feat for (_, _, _, feat) in ready]
     kwargs = {} if em_dtype is None else {"dtype": em_dtype}
     em_results = em_cluster_batch(feats, **kwargs) if feats else []
@@ -167,6 +170,41 @@ def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
                             "-", "-", 0, "-", "-", 0, win.flag])
         else:
             records.append(emitted[state])
+    return records
+
+
+PIPELINE_CHUNK = 128     # sub-chunk size: one EM batch-bucket exactly
+
+
+def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
+                         readcutoff: int = 3, hcutoff: int = 3,
+                         scutoff: float = 0.05, em_dtype=None,
+                         device_poa: bool = False,
+                         threads: int | None = None) -> list[list]:
+    """Batched Decision over prepared window payloads: gates -> batched POA
+    MSA -> feature selection -> batched EM -> labeling + batched consensus.
+    Row-for-row equivalent to decision() over each window (tested).
+
+    Large batches run as a two-stage pipeline: a worker thread computes
+    phase A (host POA, GIL-free in the C++ engine) of sub-chunk k+1 while
+    the main thread runs EM (device) + consensus emission of sub-chunk k —
+    host and TPU stay busy simultaneously."""
+    if len(wins) <= PIPELINE_CHUNK:
+        entries, ready = _stage_a(wins, t_label, hcutoff, scutoff,
+                                  device_poa, threads)
+        return _finish_chunk(entries, ready, t_label, readcutoff, em_dtype,
+                             device_poa, threads)
+    from concurrent.futures import ThreadPoolExecutor
+    chunks = [wins[off:off + PIPELINE_CHUNK]
+              for off in range(0, len(wins), PIPELINE_CHUNK)]
+    records: list[list] = []
+    with ThreadPoolExecutor(1) as prefetch:
+        futs = [prefetch.submit(_stage_a, c, t_label, hcutoff, scutoff,
+                                device_poa, threads) for c in chunks]
+        for fut in futs:
+            entries, ready = fut.result()
+            records.extend(_finish_chunk(entries, ready, t_label, readcutoff,
+                                         em_dtype, device_poa, threads))
     return records
 
 
@@ -204,10 +242,19 @@ def run_local_graph(window_records: list[str], reference: str,
                                        offset=offset, mapq=mapq)
     decide_seq = lambda w: decision(w, t_label, readcutoff, hcutoff, scutoff,
                                     em_dtype=em_dtype)
-    for off in range(0, len(todo), batch_size):
-        chunk = todo[off:off + batch_size]
-        wins = [data_maker(rec, ref, readers, labels, offset=offset,
-                           mapq=mapq) for rec in chunk]
+    from concurrent.futures import ThreadPoolExecutor
+    loader = ThreadPoolExecutor(1)
+    make_batch = lambda recs: [data_maker(rec, ref, readers, labels,
+                                          offset=offset, mapq=mapq)
+                               for rec in recs]
+    batches = [todo[off:off + batch_size]
+               for off in range(0, len(todo), batch_size)]
+    next_fut = loader.submit(make_batch, batches[0]) if batches else None
+    for bi, chunk in enumerate(batches):
+        wins = next_fut.result()
+        off = bi * batch_size
+        if bi + 1 < len(batches):
+            next_fut = loader.submit(make_batch, batches[bi + 1])
         records = process_window_batch(
             wins, t_label=t_label, readcutoff=readcutoff, hcutoff=hcutoff,
             scutoff=scutoff, em_dtype=em_dtype, device_poa=device_poa,
@@ -222,6 +269,7 @@ def run_local_graph(window_records: list[str], reference: str,
             rows.append(record)
         log.info("localGraph: %d/%d windows, %.1fs", off + len(chunk),
                  len(todo), time.time() - t0)
+    loader.shutdown()
     out_rows = existing + ["\t".join(str(x) for x in r) for r in rows]
     out_rows.sort(key=lambda l: (l.split("\t")[0], int(l.split("\t")[1])))
     with open(out_path, "w") as f:
