@@ -228,9 +228,12 @@ def cmd_adjust_vcf(args):
 def _common_bam_args(p, window_bed=True):
     if window_bed:
         p.add_argument("-w", "--windowBed", required=True)
-    p.add_argument("--device-poa", action="store_true", default=False,
-                   help="run POA alignment rounds on the TPU instead of "
-                        "the host C++ engine")
+    p.add_argument("--device-poa", nargs="?", const="xla", default=False,
+                   choices=("xla", "pallas"),
+                   help="run POA alignment rounds on the TPU instead of the "
+                        "host C++ engine; 'xla' = scan aligner (default when "
+                        "given bare), 'pallas' = hand-written wavefront "
+                        "kernel")
     p.add_argument("-T", "--Tumorbam", required=True)
     p.add_argument("-N", "--Normalbam", required=True)
     p.add_argument("-t", "--TSampleID", required=True)

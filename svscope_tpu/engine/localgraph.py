@@ -179,7 +179,7 @@ PIPELINE_CHUNK = 128     # sub-chunk size: one EM batch-bucket exactly
 def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
                          readcutoff: int = 3, hcutoff: int = 3,
                          scutoff: float = 0.05, em_dtype=None,
-                         device_poa: bool = False,
+                         device_poa: bool | str = False,
                          threads: int | None = None) -> list[list]:
     """Batched Decision over prepared window payloads: gates -> batched POA
     MSA -> feature selection -> batched EM -> labeling + batched consensus.
@@ -215,7 +215,7 @@ def run_local_graph(window_records: list[str], reference: str,
                     continue_run: bool = False, em_dtype=None,
                     t_label: str = "tumor", readcutoff: int = 3,
                     hcutoff: int = 3, scutoff: float = 0.05,
-                    device_poa: bool | None = None,
+                    device_poa: bool | str | None = None,
                     threads: int | None = None) -> str:
     """Batched localGraph (src/SVscope.py:118-183 equivalent)."""
     os.makedirs(savedir, exist_ok=True)
@@ -235,7 +235,9 @@ def run_local_graph(window_records: list[str], reference: str,
     ref = FastaFile(reference)
     readers = [open_bam(p) for p in tumor_bams + normal_bams]
     labels = [f"{t}_tumor" for t in t_ids] + [f"{n}_normal" for n in n_ids]
-    device_poa = bool(device_poa)   # host C++ POA is the default engine
+    # host C++ POA is the default engine; truthy = device rounds, with an
+    # optional engine string ('xla' | 'pallas') passed through to poa_batch
+    device_poa = device_poa or False
     rows: list[list] = []
     t0 = time.time()
     make_data2 = lambda r: data_maker2(r, ref, readers, labels,

@@ -462,8 +462,8 @@ def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
             jnp.asarray(codes), jnp.asarray(hard_b), jnp.asarray(nks),
             jnp.asarray(ns), jnp.asarray(nfs),
             jnp.asarray(zps, dtype=dtype), keys, nsteps, dtype)
-        bics_b = np.array(bics_b)
-        gammas_b = np.array(gammas_b)
+        # one batched fetch (each separate np.array() is a tunnel round trip)
+        bics_b, gammas_b = jax.device_get((bics_b, gammas_b))
         for bi, i in enumerate(idxs):
             results[i] = _select_result(np.asarray(feats[i]), bics_b[bi],
                                         gammas_b[bi], None, None, int(nks[bi]))

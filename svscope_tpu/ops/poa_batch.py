@@ -21,6 +21,7 @@ import logging
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..native.poa import NativePoaGraph, poa_native
@@ -42,9 +43,13 @@ def _bucket(x, ladder):
     return None
 
 
-def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False,
+def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
                   threads: int | None = None):
     """spoa-equivalent poa(seqs, 1) over many windows.
+
+    use_device: False = host C++ engine (default); True/'xla' = batched XLA
+    aligner rounds; 'pallas' = the hand-written Pallas wavefront kernel
+    (ops/poa_pallas) for the per-round alignment.
 
     Returns [(consensus, msa_rows)] per window."""
     if not use_device:
@@ -53,6 +58,7 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False,
             return poa_msa_batch_native(seq_lists,
                                         threads=threads or HOST_THREADS)
         return [poa_native(s) for s in seq_lists]
+    engine = use_device if isinstance(use_device, str) else "xla"
     graphs = [NativePoaGraph() for _ in seq_lists]
     host_only = [False] * len(seq_lists)
     max_rounds = max((len(s) for s in seq_lists), default=0)
@@ -68,11 +74,11 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device: bool = False,
                 continue
             items.append((w, seq))
         if items:
-            _device_round(graphs, items, host_only)
+            _device_round(graphs, items, host_only, engine)
     return [(g.consensus(), g.msa()) for g in graphs]
 
 
-def _device_round(graphs, items, host_only):
+def _device_round(graphs, items, host_only, engine: str = "xla"):
     """One round: bucket (window, seq) pairs, device-align, C++ fuse."""
     buckets: dict[tuple[int, int], list[tuple[int, str, tuple]]] = {}
     for w, seq in items:
@@ -108,12 +114,17 @@ def _device_round(graphs, items, host_only):
                 nn[len(chunk):] = nn[0]
                 seqs[len(chunk):] = seqs[0]
                 lens[len(chunk):] = lens[0]
-            an, asp, ke, _sc = pdev.align_batch(
-                jnp.asarray(chars), jnp.asarray(preds), jnp.asarray(sinks),
-                jnp.asarray(nn), jnp.asarray(seqs), jnp.asarray(lens), lb)
-            an = np.array(an)
-            asp = np.array(asp)
-            ke = np.array(ke)
+            if engine == "pallas":
+                from .poa_pallas import align_batch_pallas
+                an, asp, ke, _sc = jax.device_get(align_batch_pallas(
+                    chars, preds, sinks, nn, seqs, lens, lb))
+            else:
+                # one batched fetch: each separate np.array() is a full
+                # tunnel round trip (~22 ms floor on this setup)
+                an, asp, ke, _sc = jax.device_get(pdev.align_batch(
+                    jnp.asarray(chars), jnp.asarray(preds),
+                    jnp.asarray(sinks), jnp.asarray(nn), jnp.asarray(seqs),
+                    jnp.asarray(lens), lb))
             for bi, (w, seq, (c, p, s, n, nor)) in enumerate(chunk):
                 aln = pdev.unpack_alignment(an[bi], asp[bi], int(ke[bi]), nor)
                 graphs[w].fuse(aln, seq)

@@ -1,0 +1,364 @@
+"""Pallas TPU kernel: batched POA graph-vs-sequence alignment.
+
+The device half of the POA subsystem (SURVEY.md §2.3 row 1: spoa's per-
+window partial-order alignment is the reference's #1 hot loop).  Same
+recurrence, scoring and tie-breaks as ops/poa_device.align_batch (the pure
+XLA aligner) and native/poa_engine.cpp — NW semantics, m=5 n=-4 g=-8,
+diag > graph-gap > seq-gap traceback with predecessors in insertion order —
+hand-lowered for the TPU:
+
+  * 8 windows per grid step: every DP row update is an (8, L+1) VPU op —
+    the *window* axis fills the sublanes, exactly the batching thesis of
+    the TPU design (windows, not cores, are the parallel axis).
+  * The full H matrix and a direction plane live in VMEM scratch
+    ((N+1) x 8 x (L+1) int32 each) — the v5e has >100 MB VMEM, so graphs
+    up to ~1500 nodes x 1024 bp reads fit without rematerialization.
+  * The in-row gap chain H[i,j] = max(base[j], H[i,j-1]+g) is a prefix max
+    of (base[j] - g*j) via log2(L) roll-and-max steps (no serial scan).
+  * Chain rows (single predecessor == previous rank — the overwhelmingly
+    common case in a POA graph of similar sequences) use the carried
+    previous row; branch rows gather predecessor rows from the H scratch
+    per window, gated by scalar chain flags (all-window flags prefetched
+    to SMEM; per-window flags derived from the predecessor table).
+  * Directions (pred-slot | move) are computed vectorially against the
+    finished row, so traceback is a short data-dependent loop; Mosaic
+    requires 128-aligned lane addressing, so traceback keeps the output
+    rows in vector registers (masked-select writes) and extracts scalars
+    by masked sums — no unaligned scalar memory ops anywhere.
+
+Output convention matches align_batch: right-aligned (node_rank, seq_pos)
+pairs with -1 for gaps, -2 padding, k_end pointing one before the first
+entry, plus the best-sink score.  Parity: tests/test_poa_pallas.py runs
+this kernel against the XLA aligner and the native engine on randomized
+graphs (interpreter mode on CPU, compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.jaxcfg import enable_cache
+
+enable_cache()
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MATCH = 5
+MISMATCH = -4
+GAP = -8
+NEG = np.int32(-(2 ** 29))
+W = 8               # windows per grid step (sublane count)
+MAX_PREDS = 8
+
+
+def _roll_right(v, s, fill):
+    j = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(j >= s, pltpu.roll(v, s, axis=1), fill)
+
+
+def _prefix_max(v):
+    s = 1
+    while s < v.shape[-1]:
+        v = jnp.maximum(v, _roll_right(v, s, NEG))
+        s *= 2
+    return v
+
+
+def _exs(row, idx):
+    """Scalar row[0, idx] via a masked lane sum (no unaligned scalar load)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.sum(jnp.where(io == idx, row, 0), dtype=row.dtype)
+
+
+def _exw(col, w):
+    """Scalar col[w, 0] from a (W, 1) value via a masked sublane sum."""
+    io = jax.lax.broadcasted_iota(jnp.int32, col.shape, 0)
+    return jnp.sum(jnp.where(io == w, col, 0), dtype=col.dtype)
+
+
+def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
+                chain_ref, an_ref, as_ref, ke_ref, sc_ref,
+                h_s, d_s, *, n_max: int, l_max: int, out_len: int):
+    l1 = l_max + 1
+    j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
+    j1 = j[0:1]                                       # (1, l1)
+    jn = jax.lax.broadcasted_iota(jnp.int32, (W, n_max), 1)
+    lb_v = jnp.stack([lb_ref[k, 0] for k in range(W)]).reshape(W, 1)
+    nn_v = jnp.stack([nn_ref[k, 0] for k in range(W)]).reshape(W, 1)
+    nn_max = jnp.max(nn_v)
+    seq = seq_ref[:]                                  # (W, l1), lane0 junk
+    chars = chars_ref[:]                              # (W, n_max)
+    sinks = sinks_ref[:]
+    decay = GAP * j
+
+    h0 = jnp.where(j <= lb_v, GAP * j, NEG)
+    h_s[0] = h0
+
+    def preds_row(w, r):
+        """(1, P) predecessor ranks of node rank r in window w."""
+        return preds_ref[w, r, :].reshape(1, MAX_PREDS)
+
+    def pred_h(pv, p, w):
+        """(pred DP row, pred rank) for slot p from a (1, P) rank row."""
+        pr = _exs(pv, p)
+        prc = jnp.maximum(pr, -1) + 1
+        v = h_s[pl.ds(prc, 1), pl.ds(w, 1), :].reshape(1, l1)
+        return jnp.where((pr >= 0) | (p == 0), v, NEG), pr
+
+    def is_chain(pv, r):
+        """Single predecessor == previous rank (or rank-0 root)."""
+        pr0 = _exs(pv, 0)
+        pr1 = _exs(pv, 1)
+        return (pr1 < 0) & ((pr0 == r - 1) | ((r == 0) & (pr0 == -1)))
+
+    def row(i, carry):
+        hprev, bval, brank = carry
+        r = i - 1
+        ch = jnp.sum(chars * (jn == r).astype(jnp.int32), axis=1,
+                     keepdims=True, dtype=jnp.int32)  # (W, 1)
+        snk = jnp.sum(sinks * (jn == r).astype(jnp.int32), axis=1,
+                      keepdims=True, dtype=jnp.int32)
+        sub = jnp.where(seq == ch, MATCH, MISMATCH)   # (W, l1)
+
+        def mp_chain(_):
+            return hprev
+
+        def mp_exc(_):
+            rows = []
+            for w in range(W):
+                pv = preds_row(w, r)
+
+                def cw(_):
+                    return hprev[w:w + 1, :]
+
+                def fw(_):
+                    acc = jnp.full((1, l1), NEG, jnp.int32)
+                    for p in range(MAX_PREDS):
+                        v, _pr = pred_h(pv, p, w)
+                        acc = jnp.maximum(acc, v)
+                    return acc
+
+                rows.append(jax.lax.cond(is_chain(pv, r), cw, fw, 0))
+            return jnp.concatenate(rows, axis=0)
+
+        mp = jax.lax.cond(chain_ref[0, 0, r] > 0, mp_chain, mp_exc, 0)
+
+        jvalid = (j >= 1) & (j <= lb_v)
+        diag = jnp.where(jvalid, _roll_right(mp, 1, NEG) + sub, NEG)
+        up = mp + GAP
+        base = jnp.where(j == 0, up, jnp.maximum(diag, up))
+        base = jnp.where(j <= lb_v, base, NEG)
+        H = _prefix_max(base - decay) + decay
+        node_ok = r < nn_v                            # (W, 1)
+        hrow = jnp.where(node_ok, H, NEG)
+
+        # directions against the finished row: diag preds in order, then
+        # graph-gap preds in order, then seq-gap (left) — the reference
+        # tie-break (ops/poa.py, native/poa_engine.cpp traceback)
+        def dir_chain(_):
+            diag_ok = (hrow == diag) & jvalid
+            up_ok = hrow == up
+            d16 = jnp.full((W, l1), 16, jnp.int32)
+            return jnp.where(diag_ok, 0, jnp.where(up_ok, 8, d16))
+
+        def dir_exc(_):
+            rows = []
+            for w in range(W):
+                pv = preds_row(w, r)
+                hw = hrow[w:w + 1, :]
+                subw = sub[w:w + 1, :]
+                lbw = lb_ref[w, 0]
+                jv = (j1 >= 1) & (j1 <= lbw)
+
+                def cw(_):
+                    hp = hprev[w:w + 1, :]
+                    dok = (hw == _roll_right(hp, 1, NEG) + subw) & jv
+                    uok = hw == hp + GAP
+                    d16 = jnp.full((1, l1), 16, jnp.int32)
+                    return jnp.where(dok, 0, jnp.where(uok, 8, d16))
+
+                def fw(_):
+                    dirw = jnp.full((1, l1), 16, jnp.int32)
+                    for p in reversed(range(MAX_PREDS)):
+                        v, pr = pred_h(pv, p, w)
+                        ok = (pr >= 0) | (p == 0)
+                        uok = ok & (hw == v + GAP)
+                        dirw = jnp.where(uok, 8 + p, dirw)
+                    for p in reversed(range(MAX_PREDS)):
+                        v, pr = pred_h(pv, p, w)
+                        ok = (pr >= 0) | (p == 0)
+                        dok = ok & (hw == _roll_right(v, 1, NEG) + subw) & jv
+                        dirw = jnp.where(dok, p, dirw)
+                    return dirw
+
+                rows.append(jax.lax.cond(is_chain(pv, r), cw, fw, 0))
+            return jnp.concatenate(rows, axis=0)
+
+        dirrow = jax.lax.cond(chain_ref[0, 0, r] > 0, dir_chain, dir_exc, 0)
+
+        h_s[pl.ds(i, 1)] = hrow.reshape(1, W, l1)
+        d_s[pl.ds(r, 1)] = dirrow.reshape(1, W, l1)
+
+        # best-sink tracking at column seq_len (strict > keeps the first
+        # max — the XLA aligner's argmax tie-break in rank order)
+        endv = jnp.sum(jnp.where(j == lb_v, hrow, 0), axis=1,
+                       keepdims=True, dtype=jnp.int32)
+        better = (snk > 0) & node_ok & (endv > bval)
+        bval = jnp.where(better, endv, bval)
+        brank = jnp.where(better, r, brank)
+        return hrow, bval, brank
+
+    bval0 = jnp.full((W, 1), NEG, jnp.int32)
+    brank0 = jnp.zeros((W, 1), jnp.int32)
+    _, bval, brank = jax.lax.fori_loop(
+        jnp.int32(1), (nn_max + 1).astype(jnp.int32), row,
+        (h0, bval0, brank0))
+
+    io_out = jax.lax.broadcasted_iota(jnp.int32, (1, out_len), 1)
+    for w in range(W):
+        sc_ref[w, 0] = _exw(bval, w)
+        lbw = lb_ref[w, 0]
+        i0 = _exw(brank, w) + 1
+
+        def tb_cond(st):
+            i, jj, k, _an, _as = st
+            return (jj > 0) & (k >= 0)
+
+        def tb_body(st):
+            i, jj, k, an_row, as_row = st
+            rr = jnp.maximum(i - 1, 0)
+            drow = d_s[pl.ds(rr, 1), pl.ds(w, 1), :].reshape(1, l1)
+            d = _exs(drow, jj)
+            code = jnp.where(i == 0, 16, d)
+            is_left = code == 16
+            is_up = (code >= 8) & (code < 16)
+            p = jnp.where(is_left, 0, code & 7)
+            pr = _exs(preds_ref[w, rr, :].reshape(1, MAX_PREDS), p)
+            nexti = jnp.where(is_left, i, pr + 1)
+            nextj = jnp.where(is_up, jj, jj - 1)
+            an_row = jnp.where(io_out == k,
+                               jnp.where(is_left, -1, i - 1), an_row)
+            as_row = jnp.where(io_out == k,
+                               jnp.where(is_up, -1, jj - 1), as_row)
+            return (nexti, nextj, k - 1, an_row, as_row)
+
+        st0 = (i0, lbw, jnp.int32(out_len - 1),
+               jnp.full((1, out_len), -2, jnp.int32),
+               jnp.full((1, out_len), -2, jnp.int32))
+        _, _, k_end, an_row, as_row = jax.lax.while_loop(tb_cond, tb_body,
+                                                         st0)
+        an_ref[w:w + 1, :] = an_row
+        as_ref[w:w + 1, :] = as_row
+        ke_ref[w, 0] = k_end
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_max", "l_max", "interpret"))
+def _align_batch_padded(chars, sinks, preds, seqs_sh, lb, nn, chain,
+                        n_max: int, l_max: int, interpret: bool = False):
+    B = chars.shape[0]
+    out_len = n_max + l_max
+    l1 = l_max + 1
+    kernel = functools.partial(_poa_kernel, n_max=n_max, l_max=l_max,
+                               out_len=out_len)
+    grid = (B // W,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, n_max), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),        # chars
+            pl.BlockSpec((W, n_max), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),        # sinks
+            pl.BlockSpec((W, n_max, MAX_PREDS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),        # preds
+            pl.BlockSpec((W, l1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),        # seqs (shifted)
+            pl.BlockSpec((W, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),        # seq_len
+            pl.BlockSpec((W, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),        # n_nodes
+            pl.BlockSpec((1, 1, n_max), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),        # chain (all-w)
+        ],
+        out_specs=[
+            pl.BlockSpec((W, out_len), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, out_len), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, out_len), jnp.int32),   # aln_nodes
+            jax.ShapeDtypeStruct((B, out_len), jnp.int32),   # aln_spos
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),         # k_end
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),         # score
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_max + 1, W, l1), jnp.int32),       # H
+            pltpu.VMEM((n_max, W, l1), jnp.int32),           # directions
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(chars, sinks, preds, seqs_sh, lb, nn, chain)
+
+
+def chain_flags(preds: np.ndarray, n_nodes: np.ndarray):
+    """Per-window 'chain row' flags from packed preds.
+
+    A rank r is a chain row in window w when its predecessor set is exactly
+    {r-1} (or r == 0 with no predecessors, whose pred row is the virtual
+    row), or the rank is past the window's node count."""
+    B, N, P = preds.shape
+    r = np.arange(N)[None, :]
+    single = preds[:, :, 1] == -1
+    first_prev = preds[:, :, 0] == r - 1
+    root0 = (r == 0) & (preds[:, :, 0] == -1)
+    inactive = r >= np.asarray(n_nodes).reshape(B, 1)
+    return ((single & (first_prev | root0)) | inactive).astype(np.int32)
+
+
+def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
+                       l_max: int, interpret: bool = False):
+    """Drop-in for ops.poa_device.align_batch with the Pallas kernel.
+
+    chars (B, N) uint8; preds (B, N, P<=8) int32; is_sink (B, N) bool;
+    n_nodes (B,); seqs (B, L) uint8; seq_lens (B,).
+    Returns (aln_nodes, aln_spos, k_end, score) — k_end/score shaped (B,)."""
+    chars = np.asarray(chars)
+    preds = np.asarray(preds, np.int32)
+    B, N = chars.shape
+    if preds.shape[2] < MAX_PREDS:
+        preds = np.concatenate(
+            [preds, np.full((B, N, MAX_PREDS - preds.shape[2]), -1,
+                            np.int32)], axis=2)
+    elif preds.shape[2] > MAX_PREDS:
+        raise ValueError(f"in-degree bucket {preds.shape[2]} > {MAX_PREDS}")
+    pad = (-B) % W
+    if pad:
+        rep = lambda x: np.concatenate([x] + [x[:1]] * pad, axis=0)
+        chars, preds = rep(chars), rep(preds)
+        is_sink, n_nodes = rep(np.asarray(is_sink)), rep(np.asarray(n_nodes))
+        seqs, seq_lens = rep(np.asarray(seqs)), rep(np.asarray(seq_lens))
+    Bp = chars.shape[0]
+    seqs_sh = np.full((Bp, l_max + 1), 255, np.int32)
+    seqs_sh[:, 1:np.asarray(seqs).shape[1] + 1] = seqs
+    nn = np.asarray(n_nodes, np.int32).reshape(Bp, 1)
+    lb = np.asarray(seq_lens, np.int32).reshape(Bp, 1)
+    chainw = chain_flags(preds, nn)
+    chain_all = (chainw.reshape(Bp // W, W, N).all(axis=1)
+                 .astype(np.int32).reshape(Bp // W, 1, N))
+    an, asp, ke, sc = _align_batch_padded(
+        jnp.asarray(chars.astype(np.int32)),
+        jnp.asarray(np.asarray(is_sink).astype(np.int32)),
+        jnp.asarray(preds), jnp.asarray(seqs_sh), jnp.asarray(lb),
+        jnp.asarray(nn), jnp.asarray(chain_all),
+        N, l_max, interpret)
+    return an[:B], asp[:B], ke[:B, 0], sc[:B, 0]

@@ -1,0 +1,114 @@
+"""Parity tests for the Pallas POA wavefront kernel (ops/poa_pallas).
+
+The kernel must produce the exact alignment (path, gaps, tie-breaks) and
+score of the XLA aligner (ops/poa_device.align_batch) — which is itself
+parity-exact with the native C++ engine and the NumPy oracle — on
+arbitrary POA graphs.  On CPU the kernel runs in interpreter mode; on TPU
+it compiles for real.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from svscope_tpu.native.poa import NativePoaGraph
+from svscope_tpu.ops import poa_device as pdev
+from svscope_tpu.ops.poa_pallas import align_batch_pallas, chain_flags
+
+ON_TPU = jax.default_backend() not in ("cpu",)
+
+
+def _build_cases(rng, n_windows, read_len, n_reads, with_svs=True):
+    graphs, seqs = [], []
+    for w in range(n_windows):
+        ref = "".join(rng.choice(list("ACGT"), read_len))
+        ins = "".join(rng.choice(list("ACGT"), max(read_len // 6, 4)))
+        g = NativePoaGraph()
+        g.add_sequence(ref)
+        for r in range(n_reads):
+            base = ref
+            if with_svs and r % 3 == 0:
+                m = len(ref) // 2
+                base = ref[:m] + ins + ref[m:]
+            if with_svs and r % 4 == 1:
+                m = len(ref) // 3
+                base = ref[:m] + ref[m + read_len // 5:]
+            b = list(base)
+            for _ in range(4):
+                p = int(rng.integers(0, max(len(b) - 1, 1)))
+                op = int(rng.integers(0, 3))
+                if op == 0:
+                    b[p] = str(rng.choice(list("ACGT")))
+                elif op == 1:
+                    b.insert(p, str(rng.choice(list("ACGT"))))
+                elif len(b) > 2:
+                    b.pop(p)
+            g.add_sequence("".join(b))
+        graphs.append(g)
+        s = ref if w % 2 else ref[: len(ref) // 2] + ins + ref[len(ref) // 2:]
+        seqs.append(s)
+    return graphs, seqs
+
+
+def _pack(graphs, seqs, nb, lb):
+    packed = [g.pack(nb, 8) for g in graphs]
+    assert all(p is not None for p in packed)
+    chars = np.stack([p[0] for p in packed])
+    preds = np.stack([p[1] for p in packed])
+    sinks = np.stack([p[2] for p in packed])
+    nn = np.array([p[3] for p in packed], np.int32)
+    B = len(graphs)
+    sq = np.zeros((B, lb), np.uint8)
+    ln = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        sq[i, :len(s)] = np.frombuffer(s.encode(), np.uint8)
+        ln[i] = len(s)
+    return packed, chars, preds, sinks, nn, sq, ln
+
+
+def _assert_parity(graphs, seqs, packed, chars, preds, sinks, nn, sq, ln,
+                   lb, interpret, vs_xla=False):
+    an1, as1, ke1, sc1 = [np.array(x) for x in align_batch_pallas(
+        chars, preds, sinks, nn, sq, ln, lb, interpret=interpret)]
+    for i in range(len(packed)):
+        a1 = pdev.unpack_alignment(an1[i], as1[i], int(ke1[i]), packed[i][4])
+        a0 = graphs[i].align_only(seqs[i])
+        assert a0 == a1, f"alignment mismatch window {i} vs native engine"
+    if vs_xla:
+        an0, as0, ke0, sc0 = [np.array(x) for x in pdev.align_batch(
+            jnp.asarray(chars), jnp.asarray(preds), jnp.asarray(sinks),
+            jnp.asarray(nn), jnp.asarray(sq), jnp.asarray(ln), lb)]
+        for i in range(len(packed)):
+            a0 = pdev.unpack_alignment(an0[i], as0[i], int(ke0[i]),
+                                       packed[i][4])
+            a1 = pdev.unpack_alignment(an1[i], as1[i], int(ke1[i]),
+                                       packed[i][4])
+            assert sc0[i] == sc1[i], f"score mismatch window {i}"
+            assert a0 == a1, f"alignment mismatch window {i} vs XLA"
+
+
+def test_pallas_parity_interpret():
+    rng = np.random.default_rng(7)
+    graphs, seqs = _build_cases(rng, 9, 40, 6)
+    packed, *arrs = _pack(graphs, seqs, 128, 64)
+    _assert_parity(graphs, seqs, packed, *arrs, 64, interpret=not ON_TPU)
+
+
+def test_chain_flags():
+    preds = np.full((1, 5, 8), -1, np.int32)
+    preds[0, 1, 0] = 0
+    preds[0, 2, 0] = 1
+    preds[0, 3, 0] = 0          # branch: skips rank 1/2
+    preds[0, 3, 1] = 2          # multi-pred
+    preds[0, 4, 0] = 3
+    f = chain_flags(preds, np.array([5]))
+    assert f.tolist() == [[1, 1, 1, 0, 1]]
+
+
+@pytest.mark.skipif(not ON_TPU, reason="compiled-kernel test requires TPU")
+def test_pallas_parity_compiled_large():
+    rng = np.random.default_rng(11)
+    graphs, seqs = _build_cases(rng, 24, 150, 12)
+    packed, *arrs = _pack(graphs, seqs, 256, 256)
+    _assert_parity(graphs, seqs, packed, *arrs, 256, interpret=False,
+                   vs_xla=True)
