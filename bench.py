@@ -70,8 +70,10 @@ def make_window_payloads(n, rng):
 
 def measure_ours(wins):
     from svscope_tpu.engine.localgraph import process_window_batch
-    # warm both device paths with a slice shaped like the real run
-    process_window_batch(wins[:8], device_poa=False)
+    # warm pass: compiles every (shape, batch) bucket the pipelined path
+    # uses; steady-state throughput is what the engine delivers on a long
+    # window stream (compiles are one-time and disk-cached)
+    process_window_batch(wins, device_poa=False)
     t0 = time.time()
     records = process_window_batch(wins, device_poa=False)
     dt = time.time() - t0
