@@ -244,7 +244,7 @@ def _lc_candidates(repeat_bed: str, ins_bp: pd.DataFrame) -> pd.DataFrame:
     windows with >=3 supporting bp records (reads column joined verbatim,
     duplicates included, as the reference's groupby-join does)."""
     rows = []
-    if len(ins_bp) == 0 or not os.path.exists(repeat_bed):
+    if len(ins_bp) == 0 or not repeat_bed or not os.path.exists(repeat_bed):
         return pd.DataFrame(columns=["chrom", "start", "end", "reads", "count"])
     rep = pd.read_csv(repeat_bed, sep="\t", header=None, usecols=[0, 1, 2],
                       names=["chrom", "start", "end"])
