@@ -7,14 +7,32 @@
 // skipped here; per-window read payloads are fetched lazily by the Python
 // reader over the (small) candidate regions.
 //
-// C ABI: bam_scan_open parses the whole file into an in-memory table;
+// Scale design (30x WGS, multi-GB BAMs):
+//   * the file is mmap'd (bam_scan_open_path) — no Python-side read
+//   * a BGZF block index (compressed offset, uncompressed offset per
+//     block) is built by a header walk, then blocks inflate in parallel
+//     (each BGZF block is an independent deflate stream) in bounded
+//     chunks while a streaming parser consumes records — peak memory is
+//     O(chunk), not O(uncompressed file)
+//   * lazy mode keeps only the compressed source + block index + per-
+//     record virtual offsets; per-window sequence decode inflates just
+//     the touched blocks (htslib BAI-equivalent random access)
+//
+// C ABI: bam_scan_open* parse the whole file into an in-memory table;
 // accessors copy columns out; strings are exposed as one concatenated
 // buffer + offsets.
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <zlib.h>
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -32,48 +50,100 @@ struct Table {
   std::vector<uint32_t> cigar_off;  // offsets into cigars (n+1 entries)
   std::string cigars;
   std::string error;
-  // lazy record access: decompressed stream + per-record offsets
-  std::string data;
-  std::vector<uint64_t> rec_off;
+
+  // lazy random access: compressed source + BGZF block index + per-record
+  // virtual (uncompressed-stream) offsets
+  std::string comp_owned;           // owned copy (buffer-based open)
+  const uint8_t* comp = nullptr;    // source bytes (owned or mmap)
+  size_t comp_len = 0;
+  void* map_addr = nullptr;         // mmap bookkeeping
+  size_t map_len = 0;
+  int fd = -1;
+  std::vector<uint64_t> blk_coff;   // per block, +1 sentinel
+  std::vector<uint64_t> blk_uoff;   // per block, +1 sentinel
+  std::vector<uint64_t> rec_off;    // uncompressed offset of each record
+  // single-span decode cache for per-window fetches
+  std::string cache;
+  uint64_t cache_u0 = 0, cache_u1 = 0;
+
+  ~Table() {
+    if (map_addr) munmap(map_addr, map_len);
+    if (fd >= 0) close(fd);
+  }
 };
 
-bool bgzf_inflate(const uint8_t* data, size_t n, std::string& out) {
+// Walk BGZF block headers (no inflate): fills blk_coff/blk_uoff.
+bool index_blocks(Table* t) {
+  const uint8_t* d = t->comp;
+  size_t n = t->comp_len;
   size_t pos = 0;
-  std::vector<uint8_t> block(1 << 17);
+  uint64_t u = 0;
   while (pos + 18 <= n) {
-    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
-    uint16_t xlen = data[pos + 10] | (data[pos + 11] << 8);
-    size_t epos = pos + 12;
-    size_t eend = epos + xlen;
-    int bsize = -1;
+    if (d[pos] != 0x1f || d[pos + 1] != 0x8b) return false;
+    uint16_t xlen = d[pos + 10] | (d[pos + 11] << 8);
+    size_t epos = pos + 12, eend = epos + xlen;
+    int64_t bsize = -1;
     while (epos + 4 <= eend) {
-      uint8_t si1 = data[epos], si2 = data[epos + 1];
-      uint16_t slen = data[epos + 2] | (data[epos + 3] << 8);
+      uint8_t si1 = d[epos], si2 = d[epos + 1];
+      uint16_t slen = d[epos + 2] | (d[epos + 3] << 8);
       if (si1 == 66 && si2 == 67 && slen == 2)
-        bsize = (data[epos + 4] | (data[epos + 5] << 8)) + 1;
+        bsize = (int64_t)(d[epos + 4] | (d[epos + 5] << 8)) + 1;
       epos += 4 + slen;
     }
-    if (bsize < 0) return false;
-    const uint8_t* cdata = data + pos + 12 + xlen;
-    size_t clen = bsize - 26;
+    if (bsize < 0 || pos + bsize > n) return false;
     uint32_t isize;
-    memcpy(&isize, data + pos + bsize - 4, 4);
-    if (isize > 0) {
-      z_stream zs{};
-      inflateInit2(&zs, -15);
-      if (block.size() < isize) block.resize(isize);
-      zs.next_in = const_cast<uint8_t*>(cdata);
-      zs.avail_in = (uInt)clen;
-      zs.next_out = block.data();
-      zs.avail_out = (uInt)block.size();
-      int rc = inflate(&zs, Z_FINISH);
-      inflateEnd(&zs);
-      if (rc != Z_STREAM_END) return false;
-      out.append((const char*)block.data(), isize);
-    }
+    memcpy(&isize, d + pos + bsize - 4, 4);
+    t->blk_coff.push_back(pos);
+    t->blk_uoff.push_back(u);
+    u += isize;
     pos += bsize;
   }
-  return true;
+  t->blk_coff.push_back(pos);
+  t->blk_uoff.push_back(u);
+  return !t->blk_coff.empty();
+}
+
+// Inflate block b into out (sized for it).
+bool inflate_block(const Table* t, size_t b, uint8_t* out) {
+  const uint8_t* d = t->comp + t->blk_coff[b];
+  size_t bsize = t->blk_coff[b + 1] - t->blk_coff[b];
+  uint32_t isize = (uint32_t)(t->blk_uoff[b + 1] - t->blk_uoff[b]);
+  if (isize == 0) return true;
+  uint16_t xlen = d[10] | (d[11] << 8);
+  const uint8_t* cdata = d + 12 + xlen;
+  size_t clen = bsize - 12 - xlen - 8;
+  z_stream zs{};
+  inflateInit2(&zs, -15);
+  zs.next_in = const_cast<uint8_t*>(cdata);
+  zs.avail_in = (uInt)clen;
+  zs.next_out = out;
+  zs.avail_out = isize;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
+// Inflate blocks [b0, b1) in parallel into a contiguous buffer whose first
+// byte corresponds to blk_uoff[b0].
+bool inflate_span(const Table* t, size_t b0, size_t b1, uint8_t* out,
+                  int n_threads) {
+  std::atomic<size_t> next(b0);
+  std::atomic<bool> ok(true);
+  auto work = [&]() {
+    for (size_t b = next.fetch_add(1); b < b1; b = next.fetch_add(1)) {
+      if (!inflate_block(t, b, out + (t->blk_uoff[b] - t->blk_uoff[b0])))
+        ok = false;
+    }
+  };
+  if (n_threads <= 1 || b1 - b0 <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    int nt = std::min<int>(n_threads, (int)(b1 - b0));
+    for (int k = 0; k < nt; k++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return ok;
 }
 
 const char kCigarOps[] = "MIDNSHP=X";
@@ -81,80 +151,170 @@ const char kCigarOps[] = "MIDNSHP=X";
 const bool kRefConsume[9] = {true, false, true, true, false,
                              false, false, true, true};
 
-Table* parse_bam(const uint8_t* raw, size_t rawlen, bool keep_data) {
-  auto* t = new Table();
-  std::string& data = t->data;
-  if (!bgzf_inflate(raw, rawlen, data)) {
+constexpr size_t kChunkBlocks = 512;   // ~33 MB uncompressed per chunk
+
+// Streaming parse over chunked parallel inflate.
+void parse_stream(Table* t, bool lazy, int n_threads) {
+  if (!index_blocks(t)) {
     t->error = "bad BGZF stream";
-    return t;
+    return;
   }
-  if (data.size() < 8 || memcmp(data.data(), "BAM\x01", 4) != 0) {
-    t->error = "not a BAM file";
-    return t;
-  }
-  size_t off = 4;
-  auto rd_i32 = [&](size_t o) {
-    int32_t v;
-    memcpy(&v, data.data() + o, 4);
-    return v;
-  };
-  int32_t l_text = rd_i32(off);
-  off += 4 + l_text;
-  int32_t n_ref = rd_i32(off);
-  off += 4;
-  for (int r = 0; r < n_ref; r++) {
-    int32_t l_name = rd_i32(off);
-    off += 4;
-    t->refs.emplace_back(data.data() + off, l_name - 1);
-    off += l_name;
-    t->ref_len.push_back(rd_i32(off));
-    off += 4;
-  }
+  size_t nb = t->blk_coff.size() - 1;
+  std::string buf;
+  uint64_t base = 0;     // virtual offset of buf[0]
+  size_t pos = 0;        // parse cursor within buf
+  size_t next_blk = 0;
+  bool header_done = false;
   t->name_off.push_back(0);
   t->cigar_off.push_back(0);
   char numbuf[16];
-  while (off + 4 <= data.size()) {
-    int32_t block_size = rd_i32(off);
-    size_t rec = off + 4;
-    off = rec + block_size;
-    if (off > data.size()) break;
-    int32_t ref_id = rd_i32(rec);
-    int32_t pos = rd_i32(rec + 4);
-    uint8_t l_read_name = (uint8_t)data[rec + 8];
-    uint8_t mapq = (uint8_t)data[rec + 9];
-    uint16_t n_cigar;
-    memcpy(&n_cigar, data.data() + rec + 12, 2);
-    uint16_t flag;
-    memcpy(&flag, data.data() + rec + 14, 2);
-    if (ref_id < 0 || (flag & 0x4)) continue;  // unmapped
-    t->rec_off.push_back(rec);
-    t->ref_id.push_back(ref_id);
-    t->start.push_back(pos);
-    t->mapq.push_back(mapq);
-    t->flag.push_back(flag);
-    t->names.append(data.data() + rec + 32, l_read_name - 1);
-    t->name_off.push_back((uint32_t)t->names.size());
-    size_t coff = rec + 32 + l_read_name;
-    int64_t ref_span = 0;
-    for (int k = 0; k < n_cigar; k++) {
-      uint32_t c;
-      memcpy(&c, data.data() + coff + 4ull * k, 4);
-      uint32_t op = c & 0xF;
-      uint32_t len = c >> 4;
-      if (op < 9 && kRefConsume[op]) ref_span += len;
-      int nn = snprintf(numbuf, sizeof numbuf, "%u", len);
-      t->cigars.append(numbuf, nn);
-      t->cigars.push_back(op < 9 ? kCigarOps[op] : '?');
+
+  auto rd_i32 = [&](size_t o) {
+    int32_t v;
+    memcpy(&v, buf.data() + o, 4);
+    return v;
+  };
+
+  while (next_blk < nb || pos < buf.size()) {
+    // top up the buffer with the next chunk of blocks
+    if (next_blk < nb) {
+      size_t b1 = std::min(next_blk + kChunkBlocks, nb);
+      size_t add = t->blk_uoff[b1] - t->blk_uoff[next_blk];
+      size_t old = buf.size();
+      buf.resize(old + add);
+      if (!inflate_span(t, next_blk, b1, (uint8_t*)buf.data() + old,
+                        n_threads)) {
+        t->error = "bad BGZF stream";
+        return;
+      }
+      next_blk = b1;
     }
-    t->cigar_off.push_back((uint32_t)t->cigars.size());
-    t->end.push_back(pos + ref_span);
+    if (!header_done) {
+      if (buf.size() < 8) {
+        if (next_blk >= nb) { t->error = "not a BAM file"; return; }
+        continue;
+      }
+      if (memcmp(buf.data(), "BAM\x01", 4) != 0) {
+        t->error = "not a BAM file";
+        return;
+      }
+      uint32_t l_text = (uint32_t)rd_i32(4);
+      if (buf.size() < 12 + (size_t)l_text) {
+        if (next_blk >= nb) { t->error = "truncated BAM header"; return; }
+        continue;
+      }
+      size_t off = 8 + l_text;
+      int32_t n_ref = rd_i32(off);
+      off += 4;
+      bool ok = true;
+      size_t probe = off;
+      for (int r = 0; r < n_ref; r++) {
+        if (probe + 4 > buf.size()) { ok = false; break; }
+        int32_t l_name = rd_i32(probe);
+        probe += 4 + l_name + 4;
+        if (probe > buf.size()) { ok = false; break; }
+      }
+      if (!ok) {
+        if (next_blk >= nb) { t->error = "truncated BAM header"; return; }
+        continue;
+      }
+      for (int r = 0; r < n_ref; r++) {
+        int32_t l_name = rd_i32(off);
+        off += 4;
+        t->refs.emplace_back(buf.data() + off, l_name - 1);
+        off += l_name;
+        t->ref_len.push_back(rd_i32(off));
+        off += 4;
+      }
+      pos = off;
+      header_done = true;
+    }
+    // parse complete records
+    while (pos + 4 <= buf.size()) {
+      int32_t block_size = rd_i32(pos);
+      size_t rec = pos + 4;
+      if (rec + (size_t)block_size > buf.size()) break;
+      size_t nextpos = rec + block_size;
+      int32_t ref_id = rd_i32(rec);
+      int32_t rpos = rd_i32(rec + 4);
+      uint8_t l_read_name = (uint8_t)buf[rec + 8];
+      uint8_t mapq = (uint8_t)buf[rec + 9];
+      uint16_t n_cigar;
+      memcpy(&n_cigar, buf.data() + rec + 12, 2);
+      uint16_t flag;
+      memcpy(&flag, buf.data() + rec + 14, 2);
+      pos = nextpos;
+      if (ref_id < 0 || (flag & 0x4)) continue;  // unmapped
+      if (lazy) t->rec_off.push_back(base + rec);
+      t->ref_id.push_back(ref_id);
+      t->start.push_back(rpos);
+      t->mapq.push_back(mapq);
+      t->flag.push_back(flag);
+      t->names.append(buf.data() + rec + 32, l_read_name - 1);
+      t->name_off.push_back((uint32_t)t->names.size());
+      size_t coff = rec + 32 + l_read_name;
+      int64_t ref_span = 0;
+      for (int k = 0; k < n_cigar; k++) {
+        uint32_t c;
+        memcpy(&c, buf.data() + coff + 4ull * k, 4);
+        uint32_t op = c & 0xF;
+        uint32_t len = c >> 4;
+        if (op < 9 && kRefConsume[op]) ref_span += len;
+        int nn = snprintf(numbuf, sizeof numbuf, "%u", len);
+        t->cigars.append(numbuf, nn);
+        t->cigars.push_back(op < 9 ? kCigarOps[op] : '?');
+      }
+      t->cigar_off.push_back((uint32_t)t->cigars.size());
+      t->end.push_back(rpos + ref_span);
+    }
+    if (next_blk >= nb && pos >= buf.size()) break;
+    if (next_blk >= nb && pos < buf.size() && pos + 4 > buf.size()) break;
+    if (next_blk >= nb) {
+      // incomplete trailing record with no more blocks: stop
+      size_t rem = buf.size() - pos;
+      if (rem < 4 || pos + 4 + (size_t)rd_i32(pos) > buf.size()) break;
+    }
+    // drop the consumed prefix to keep memory bounded
+    if (pos > (kChunkBlocks << 16)) {
+      buf.erase(0, pos);
+      base += pos;
+      pos = 0;
+    }
   }
-  if (!keep_data) {
-    t->data.clear();
-    t->data.shrink_to_fit();
-    t->rec_off.clear();
+  if (!lazy) {
+    // nothing kept beyond the columns
+    t->blk_coff.clear();
+    t->blk_coff.shrink_to_fit();
+    t->blk_uoff.clear();
+    t->blk_uoff.shrink_to_fit();
   }
+}
+
+Table* open_common(bool lazy, int n_threads) {
+  auto* t = new Table();
+  (void)lazy;
+  (void)n_threads;
   return t;
+}
+
+// Ensure the uncompressed range [u0, u0+len) is in t->cache.
+bool ensure_range(Table* t, uint64_t u0, uint64_t len) {
+  if (u0 >= t->cache_u0 && u0 + len <= t->cache_u1) return true;
+  if (t->blk_uoff.empty()) return false;
+  // blocks covering [u0, u0+len), extended forward for locality
+  auto it = std::upper_bound(t->blk_uoff.begin(), t->blk_uoff.end(), u0);
+  size_t b0 = (size_t)(it - t->blk_uoff.begin()) - 1;
+  size_t nb = t->blk_coff.size() - 1;
+  if (b0 >= nb) return false;
+  size_t b1 = b0;
+  uint64_t target = u0 + len;
+  while (b1 < nb && t->blk_uoff[b1] < target) b1++;
+  b1 = std::min(b1 + 8, nb);   // read ahead a few blocks
+  t->cache.resize(t->blk_uoff[b1] - t->blk_uoff[b0]);
+  if (!inflate_span(t, b0, b1, (uint8_t*)t->cache.data(), 1)) return false;
+  t->cache_u0 = t->blk_uoff[b0];
+  t->cache_u1 = t->blk_uoff[b1];
+  return u0 >= t->cache_u0 && u0 + len <= t->cache_u1;
 }
 
 const char kSeqNt16[] = "=ACMGRSVTWYHKDBN";
@@ -163,29 +323,86 @@ const char kSeqNt16[] = "=ACMGRSVTWYHKDBN";
 
 extern "C" {
 
-void* bam_scan_open(const uint8_t* raw, int64_t rawlen) {
-  return parse_bam(raw, (size_t)rawlen, false);
+void* bam_scan_open_threads(const uint8_t* raw, int64_t rawlen, int32_t lazy,
+                            int32_t n_threads) {
+  Table* t = open_common(lazy, n_threads);
+  if (lazy) {
+    t->comp_owned.assign((const char*)raw, (size_t)rawlen);
+    t->comp = (const uint8_t*)t->comp_owned.data();
+  } else {
+    t->comp = raw;
+  }
+  t->comp_len = (size_t)rawlen;
+  parse_stream(t, lazy, n_threads);
+  if (!lazy) t->comp = nullptr;
+  return t;
 }
 
-// keep the decompressed stream for lazy per-record sequence access
+void* bam_scan_open(const uint8_t* raw, int64_t rawlen) {
+  return bam_scan_open_threads(raw, rawlen, 0, 4);
+}
+
 void* bam_scan_open_lazy(const uint8_t* raw, int64_t rawlen) {
-  return parse_bam(raw, (size_t)rawlen, true);
+  return bam_scan_open_threads(raw, rawlen, 1, 4);
+}
+
+// mmap-backed open: no caller-side file read, lazy mode retains only the
+// mapping + block index + record offsets
+void* bam_scan_open_path(const char* path, int32_t lazy, int32_t n_threads) {
+  auto* t = new Table();
+  t->fd = open(path, O_RDONLY);
+  if (t->fd < 0) {
+    t->error = "cannot open file";
+    return t;
+  }
+  struct stat st;
+  if (fstat(t->fd, &st) != 0 || st.st_size == 0) {
+    t->error = "cannot stat file";
+    return t;
+  }
+  t->map_len = (size_t)st.st_size;
+  t->map_addr = mmap(nullptr, t->map_len, PROT_READ, MAP_PRIVATE, t->fd, 0);
+  if (t->map_addr == MAP_FAILED) {
+    t->map_addr = nullptr;
+    t->error = "mmap failed";
+    return t;
+  }
+  madvise(t->map_addr, t->map_len, MADV_SEQUENTIAL);
+  t->comp = (const uint8_t*)t->map_addr;
+  t->comp_len = t->map_len;
+  parse_stream(t, lazy, n_threads);
+  if (!lazy) {
+    munmap(t->map_addr, t->map_len);
+    t->map_addr = nullptr;
+    close(t->fd);
+    t->fd = -1;
+    t->comp = nullptr;
+    t->comp_len = 0;
+  } else {
+    madvise(t->map_addr, t->map_len, MADV_RANDOM);
+  }
+  return t;
 }
 
 // decode record idx's sequence (soft clips included); returns length or -1
 int64_t bam_scan_record_seq(void* h, int64_t idx, char* out, int64_t cap) {
   Table* t = (Table*)h;
-  if (t->data.empty() || idx < 0 || idx >= (int64_t)t->rec_off.size())
+  if (t->comp == nullptr || idx < 0 || idx >= (int64_t)t->rec_off.size())
     return -1;
-  const char* rec = t->data.data() + t->rec_off[idx];
-  uint8_t l_read_name = (uint8_t)rec[8];
+  uint64_t rec = t->rec_off[idx];
+  if (!ensure_range(t, rec, 36)) return -1;
+  const char* p = t->cache.data() + (rec - t->cache_u0);
+  uint8_t l_read_name = (uint8_t)p[8];
   uint16_t n_cigar;
-  memcpy(&n_cigar, rec + 12, 2);
+  memcpy(&n_cigar, p + 12, 2);
   int32_t l_seq;
-  memcpy(&l_seq, rec + 16, 4);
+  memcpy(&l_seq, p + 16, 4);
   if (l_seq > cap) return -1;
+  uint64_t seq_off = rec + 32 + l_read_name + 4ull * n_cigar;
+  uint64_t seq_bytes = ((uint64_t)l_seq + 1) / 2;
+  if (!ensure_range(t, seq_off, seq_bytes)) return -1;
   const uint8_t* packed =
-      (const uint8_t*)rec + 32 + l_read_name + 4ull * n_cigar;
+      (const uint8_t*)t->cache.data() + (seq_off - t->cache_u0);
   for (int32_t k = 0; k < l_seq; k++) {
     uint8_t code = (k & 1) ? (packed[k >> 1] & 0xF) : (packed[k >> 1] >> 4);
     out[k] = kSeqNt16[code];

@@ -40,6 +40,8 @@ def lib():
         l.bam_scan_open.argtypes = [ct.c_char_p, ct.c_int64]
         l.bam_scan_open_lazy.restype = ct.c_void_p
         l.bam_scan_open_lazy.argtypes = [ct.c_char_p, ct.c_int64]
+        l.bam_scan_open_path.restype = ct.c_void_p
+        l.bam_scan_open_path.argtypes = [ct.c_char_p, ct.c_int32, ct.c_int32]
         l.bam_scan_record_seq.restype = ct.c_int64
         l.bam_scan_record_seq.argtypes = [ct.c_void_p, ct.c_int64,
                                           ct.c_char_p, ct.c_int64]
@@ -106,12 +108,12 @@ def _extract(l, h, path):
     return refs, ref_lens, ref_id, start, end, mapq, flag, name_list, cig_list
 
 
-def scan_alignment_table(path: str):
-    """AlignmentTable built by the native scanner."""
+def scan_alignment_table(path: str, threads: int = 4):
+    """AlignmentTable built by the native scanner (mmap + block-parallel
+    BGZF inflate + streaming parse: O(chunk) memory at any input size)."""
     from ..io.bam import AlignmentTable
     l = lib()
-    raw = open(path, "rb").read()
-    h = l.bam_scan_open(raw, len(raw))
+    h = l.bam_scan_open_path(path.encode(), 0, threads)
     try:
         (refs, _lens, ref_id, start, end, mapq, flag, name_list,
          cig_list) = _extract(l, h, path)
@@ -132,8 +134,7 @@ def scan_with_breakpoints(path: str, indel_cutoff: int = 40,
     import pandas as pd
     from ..io.bam import AlignmentTable
     l = lib()
-    raw = open(path, "rb").read()
-    h = l.bam_scan_open(raw, len(raw))
+    h = l.bam_scan_open_path(path.encode(), 0, 4)
     try:
         (refs, _lens, ref_id, start, end, mapq, flag, name_list,
          cig_list) = _extract(l, h, path)
@@ -177,17 +178,16 @@ def scan_with_breakpoints(path: str, indel_cutoff: int = 40,
 class LazyBamReader:
     """BamReader-compatible region reader backed by the native scanner.
 
-    Columns are parsed once in C++; record *sequences* decode lazily per
-    fetch, so per-window extraction touches only the candidate regions.
-    The decompressed stream lives in C++ (1x file-expansion in RAM) —
-    chromosome-scale inputs; a BGZF virtual-offset index is the
-    whole-genome streaming extension.
+    Columns are parsed once in C++ (mmap + block-parallel inflate +
+    streaming parse); record *sequences* decode lazily per fetch through a
+    BGZF virtual-offset index — only the compressed mapping, the block
+    index and per-record offsets stay resident, so 30x-WGS inputs fetch
+    per-window payloads without holding the decompressed stream.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, threads: int = 4):
         self._lib = lib()
-        raw = open(path, "rb").read()
-        self._h = self._lib.bam_scan_open_lazy(raw, len(raw))
+        self._h = self._lib.bam_scan_open_path(path.encode(), 1, threads)
         (self.references, self.lengths, self._ref_id, self._start,
          self._end, self._mapq, self._flag, self._names,
          self._cigars) = _extract(self._lib, self._h, path)
