@@ -93,21 +93,43 @@ def _cut_tree_labels(Z: np.ndarray, n: int, k: int) -> np.ndarray:
     return out
 
 
-def ward_init_labels(seqdatamx: np.ndarray, kmax: int) -> np.ndarray:
+def ward_init_labels(seqdatamx: np.ndarray, kmax: int,
+                     sim: np.ndarray | None = None) -> np.ndarray:
     """(kmax, N) int labels in 0..K-1 for K = 1..kmax from Ward linkage.
 
     scipy.linkage receives the (N, N) similarity matrix as raw observations,
-    exactly like the reference (src/ReadsCluster.py:242-243).
-    """
+    exactly like the reference (src/ReadsCluster.py:242-243).  All K cuts
+    come from one incremental union-find pass over the merge list (identical
+    labels to per-K _cut_tree_labels; the per-K rebuild dominated the EM
+    host-prep profile)."""
     n = seqdatamx.shape[0]
     labels = np.zeros((kmax, n), np.int32)
-    if n >= 2:
+    if n < 2:
+        return labels
+    if sim is None:
         sim = pairwise_identity(seqdatamx)
-        Z = linkage(sim, "ward")
-        for k in range(2, kmax + 1):
-            if k > n:
-                break
-            labels[k - 1] = _cut_tree_labels(Z, n, k)
+    Z = linkage(sim, "ward")
+    parent = np.arange(2 * n - 1)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    m = 0
+    for k in range(min(kmax, n), 1, -1):
+        while m < n - k:
+            a, b = int(Z[m, 0]), int(Z[m, 1])
+            parent[find(a)] = parent[find(b)] = n + m
+            m += 1
+        roots: dict = {}
+        out = labels[k - 1]
+        for i in range(n):
+            r = find(i)
+            if r not in roots:
+                roots[r] = len(roots)
+            out[i] = roots[r]
     return labels
 
 
@@ -440,14 +462,34 @@ def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
         zps = np.zeros(b_pad, np.float64)
         for bi, i in enumerate(idxs):
             x = np.asarray(feats[i])
+            ns[bi], nfs[bi] = x.shape
+            codes[bi, :x.shape[0], :x.shape[1]] = x
+        nb = len(idxs)
+        # batched pairwise identity + zero-param counts over the padded
+        # codes: pad rows are all-PAD_CODE (outside the 0..4 alphabet, so
+        # they never hit a symbol count) and pad columns are equal in every
+        # row pair (subtract their fixed contribution from eq)
+        sims = zps_b = None
+        if nb * n_pad * n_pad * nf_pad <= (1 << 27):
+            c = codes[:nb]
+            sims = (c[:, :, None, :] == c[:, None, :, :]).sum(axis=3)
+            zps_b = np.stack([(c == a).sum(axis=1) for a in range(ALPHA)],
+                             axis=-1)                 # (nb, nf_pad, ALPHA)
+        for bi, i in enumerate(idxs):
+            x = np.asarray(feats[i])
             n, nf = x.shape
-            codes[bi, :n, :nf] = x
             n_k = max(min(max_c + 1, n) - 1, 1)
+            if sims is not None:
+                sim = ((sims[bi, :n, :n] - (nf_pad - nf)) / max(nf, 1)
+                       ).astype(np.float64)
+                np.fill_diagonal(sim, 1.0)
+                zps[bi] = float((zps_b[bi, :nf] == 0).sum())
+            else:
+                sim = None
+                zps[bi] = zero_param_count(x)
             hard_b[bi, :min(n_k, MAX_K), :n] = ward_init_labels(
-                x, min(n_k, MAX_K))
+                x, min(n_k, MAX_K), sim=sim)
             nks[bi] = n_k
-            ns[bi], nfs[bi] = n, nf
-            zps[bi] = zero_param_count(x)
         if len(idxs) < b_pad:                # batch-axis padding
             codes[len(idxs):] = codes[0]
             hard_b[len(idxs):] = hard_b[0]
