@@ -136,81 +136,30 @@ constexpr int kMismatch = -4;
 constexpr int kGap = -8;
 constexpr int32_t kNeg = -(1 << 29);
 
-// NW graph-vs-seq alignment, identical to PoaGraph.align.
-// Returns pairs (node_id or -1, seq_pos or -1) in order.
-void align_seq(Graph& g, const char* seq, int L,
-               std::vector<std::pair<int, int>>& aln) {
-  aln.clear();
-  const std::vector<int>& order = g.topo_order();
-  int N = (int)order.size();
-  if (N == 0) {
-    for (int j = 0; j < L; j++) aln.emplace_back(-1, j);
-    return;
-  }
-  thread_local std::vector<int> pos_of;
-  pos_of.resize(g.n_nodes());
-  for (int i = 0; i < N; i++) pos_of[order[i]] = i;
-  thread_local std::vector<int32_t> H;
-  // +16 both ends: AVX overread/underread slack (block 0 loads Hp[-1])
-  H.resize((size_t)(N + 1) * (L + 1) + 32);
-  int32_t* Hb = H.data() + 16;
-  for (int j = 0; j <= L; j++) Hb[j] = kGap * j;
-  // flat predecessor rank lists (+1 for the virtual row), one pass
-  thread_local std::vector<int32_t> pred_flat;
-  thread_local std::vector<int> pred_off;
-  pred_off.resize(N + 1);
-  pred_flat.clear();
-  for (int i = 0; i < N; i++) {
-    pred_off[i] = (int)pred_flat.size();
-    for (int p : g.in_edges[order[i]]) pred_flat.push_back(pos_of[p] + 1);
-    if (pred_flat.size() == (size_t)pred_off[i]) pred_flat.push_back(0);
-  }
-  pred_off[N] = (int)pred_flat.size();
-  // per-character substitution rows, computed once per distinct node char:
-  // subrow(c)[j] = (seq[j-1] == c) ? kMatch : kMismatch  for j in 1..L
-  thread_local std::vector<int32_t> subrows;
-  subrows.resize(8 * (size_t)(L + 1 + 16));
-  char sub_char[8];
-  int n_sub = 0;
-  auto subrow = [&](char c) -> const int32_t* {
-    for (int k = 0; k < n_sub; k++)
-      if (sub_char[k] == c) return &subrows[k * (size_t)(L + 1 + 16)];
-    int k = n_sub < 8 ? n_sub++ : 7;
-    sub_char[k] = c;
-    int32_t* S = &subrows[k * (size_t)(L + 1 + 16)];
-    S[0] = 0;
-    for (int j = 1; j <= L; j++)
-      S[j] = (seq[j - 1] == c) ? kMatch : kMismatch;
-    return S;
-  };
-  const size_t stride = (size_t)(L + 1);
-  const int n = L + 1;
+// Fused DP row update: base[j] = max over preds of
+//   max(Hp[j-1] + sub[j], Hp[j] + gap)
+// then the in-row gap chain as a prefix max in offset space
+//   Hi[j] = max_{k<=j}(base[k] - kGap*k) + kGap*j.
+// Two AVX-512 instantiations: int32 (16 lanes, general) and int16
+// (32 lanes; selected when 8*(N+L) and 13*L fit the int16 range — the
+// overwhelmingly common case for candidate windows).
+template <typename ST>
+struct RowKernel;
+
 #ifdef __AVX512F__
-  const __m512i kneg = _mm512_set1_epi32(kNeg);
-  const __m512i gv = _mm512_set1_epi32(kGap);
-  const __m512i idx0 = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
-                                         11, 12, 13, 14, 15);
-  const __m512i g16 = _mm512_set1_epi32(-kGap * 16);
-  const __m512i lastlane = _mm512_set1_epi32(15);
-  const __m512i off0 = _mm512_mullo_epi32(idx0, _mm512_set1_epi32(-kGap));
-#endif
-  for (int i = 1; i <= N; i++) {
-    const int32_t* preds = &pred_flat[pred_off[i - 1]];
-    const int npred = pred_off[i] - pred_off[i - 1];
-    int32_t* Hi = Hb + (size_t)i * stride;
-    const int32_t* S = subrow(g.chars[order[i - 1]]);
-    const int32_t* Hp0 = Hb + (size_t)preds[0] * stride;
-    // base[0] = max over preds of Hp[0] + kGap (the j=0 gap-from-pred cell)
-    int32_t base0 = Hp0[0] + kGap;
-    for (int k = 1; k < npred; k++)
-      base0 = std::max(base0, Hb[(size_t)preds[k] * stride] + kGap);
-#ifdef __AVX512F__
-    // fused row update: base[j] = max over preds of
-    //   max(Hp[j-1] + sub[j], Hp[j] + gap)
-    // then the in-row gap chain as a prefix max in offset space
-    //   Hi[j] = max_{k<=j}(base[k] - kGap*k) + kGap*j.
-    __m512i off = off0;
+template <>
+struct RowKernel<int32_t> {
+  static void run(int32_t* Hi, const int32_t* const* prows, int npred,
+                  const int32_t* S, int n, int32_t base0) {
+    const __m512i kneg = _mm512_set1_epi32(kNeg);
+    const __m512i gv = _mm512_set1_epi32(kGap);
+    const __m512i idx0 = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                           11, 12, 13, 14, 15);
+    const __m512i g16 = _mm512_set1_epi32(-kGap * 16);
+    const __m512i lastlane = _mm512_set1_epi32(15);
+    __m512i off = _mm512_mullo_epi32(idx0, _mm512_set1_epi32(-kGap));
     __m512i carry = kneg;
+    const int32_t* Hp0 = prows[0];
     int j = 0;
     for (; j + 16 <= n; j += 16) {
       __m512i d = _mm512_add_epi32(_mm512_loadu_si512(Hp0 + j - 1),
@@ -218,7 +167,7 @@ void align_seq(Graph& g, const char* seq, int L,
       __m512i u = _mm512_add_epi32(_mm512_loadu_si512(Hp0 + j), gv);
       __m512i b = _mm512_max_epi32(d, u);
       for (int k = 1; k < npred; k++) {
-        const int32_t* Hq = Hb + (size_t)preds[k] * stride;
+        const int32_t* Hq = prows[k];
         __m512i d2 = _mm512_add_epi32(_mm512_loadu_si512(Hq + j - 1),
                                       _mm512_loadu_si512(S + j));
         __m512i u2 = _mm512_add_epi32(_mm512_loadu_si512(Hq + j), gv);
@@ -242,26 +191,161 @@ void align_seq(Graph& g, const char* seq, int L,
         int32_t b = j == 0 ? base0
                            : std::max(Hp0[j - 1] + S[j], Hp0[j] + kGap);
         for (int k = 1; k < npred && j > 0; k++) {
-          const int32_t* Hq = Hb + (size_t)preds[k] * stride;
+          const int32_t* Hq = prows[k];
           b = std::max(b, std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
         }
         Hi[j] = std::max(b, prev + kGap);
         prev = Hi[j];
       }
     }
+  }
+};
+
+constexpr int16_t kNeg16 = -28000;
+
+template <>
+struct RowKernel<int16_t> {
+  static void run(int16_t* Hi, const int16_t* const* prows, int npred,
+                  const int16_t* S, int n, int16_t base0) {
+    const __m512i kneg = _mm512_set1_epi16(kNeg16);
+    const __m512i gv = _mm512_set1_epi16((int16_t)kGap);
+    const __m512i g32 = _mm512_set1_epi16((int16_t)(-kGap * 32));
+    const __m512i lastlane = _mm512_set1_epi16(31);
+    alignas(64) int16_t idx_buf[32];
+    for (int k = 0; k < 32; k++) idx_buf[k] = (int16_t)(k * -kGap);
+    __m512i off = _mm512_load_si512(idx_buf);
+    // lane-shift index vectors for the prefix max (idx[i] = i - s)
+    __m512i shift_idx[5];
+    for (int s = 0, bit = 1; s < 5; s++, bit <<= 1) {
+      for (int k = 0; k < 32; k++) idx_buf[k] = (int16_t)((k - bit) & 31);
+      shift_idx[s] = _mm512_load_si512(idx_buf);
+    }
+    const __mmask32 shift_mask[5] = {
+        (__mmask32)(~0u << 1), (__mmask32)(~0u << 2), (__mmask32)(~0u << 4),
+        (__mmask32)(~0u << 8), (__mmask32)(~0u << 16)};
+    __m512i carry = kneg;
+    const int16_t* Hp0 = prows[0];
+    int j = 0;
+    for (; j + 32 <= n; j += 32) {
+      __m512i d = _mm512_adds_epi16(_mm512_loadu_si512(Hp0 + j - 1),
+                                    _mm512_loadu_si512(S + j));
+      __m512i u = _mm512_adds_epi16(_mm512_loadu_si512(Hp0 + j), gv);
+      __m512i b = _mm512_max_epi16(d, u);
+      for (int k = 1; k < npred; k++) {
+        const int16_t* Hq = prows[k];
+        __m512i d2 = _mm512_adds_epi16(_mm512_loadu_si512(Hq + j - 1),
+                                       _mm512_loadu_si512(S + j));
+        __m512i u2 = _mm512_adds_epi16(_mm512_loadu_si512(Hq + j), gv);
+        b = _mm512_max_epi16(b, _mm512_max_epi16(d2, u2));
+      }
+      if (j == 0)
+        b = _mm512_mask_mov_epi16(b, 1, _mm512_set1_epi16(base0));
+      __m512i c = _mm512_adds_epi16(b, off);
+      for (int s = 0; s < 5; s++) {
+        __m512i sh = _mm512_mask_permutexvar_epi16(kneg, shift_mask[s],
+                                                   shift_idx[s], c);
+        c = _mm512_max_epi16(c, sh);
+      }
+      c = _mm512_max_epi16(c, carry);
+      carry = _mm512_permutexvar_epi16(lastlane, c);
+      _mm512_storeu_si512(Hi + j, _mm512_subs_epi16(c, off));
+      off = _mm512_adds_epi16(off, g32);
+    }
+    if (j < n) {
+      int16_t prev = j ? Hi[j - 1] : kNeg16;
+      for (; j < n; j++) {
+        int32_t b = j == 0 ? base0
+                           : std::max(Hp0[j - 1] + S[j], Hp0[j] + kGap);
+        for (int k = 1; k < npred && j > 0; k++) {
+          const int16_t* Hq = prows[k];
+          b = std::max(b, std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
+        }
+        Hi[j] = (int16_t)std::max(b, prev + kGap);
+        prev = Hi[j];
+      }
+    }
+  }
+};
 #else
+template <typename ST>
+struct RowKernel {
+  static void run(ST* Hi, const ST* const* prows, int npred, const ST* S,
+                  int n, ST base0) {
+    const ST* Hp0 = prows[0];
     int32_t prev = kNeg;
-    for (int j = 0; j <= L; j++) {
-      int32_t b = j == 0 ? base0
+    for (int j = 0; j < n; j++) {
+      int32_t b = j == 0 ? (int32_t)base0
                          : std::max(Hp0[j - 1] + S[j], Hp0[j] + kGap);
       for (int k = 1; k < npred && j > 0; k++) {
-        const int32_t* Hq = Hb + (size_t)preds[k] * stride;
-        b = std::max(b, std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
+        const ST* Hq = prows[k];
+        b = std::max(b, (int32_t)std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
       }
-      Hi[j] = std::max(b, prev + kGap);
+      Hi[j] = (ST)std::max(b, prev + kGap);
       prev = Hi[j];
     }
+  }
+};
 #endif
+
+// NW graph-vs-seq alignment, identical to PoaGraph.align.
+// Returns pairs (node_id or -1, seq_pos or -1) in order.
+template <typename ST>
+void align_seq_t(Graph& g, const char* seq, int L,
+                 std::vector<std::pair<int, int>>& aln) {
+  const std::vector<int>& order = g.topo_order();
+  int N = (int)order.size();
+  thread_local std::vector<int> pos_of;
+  pos_of.resize(g.n_nodes());
+  for (int i = 0; i < N; i++) pos_of[order[i]] = i;
+  thread_local std::vector<ST> H;
+  // +32 both ends: AVX overread/underread slack (block 0 loads Hp[-1])
+  H.resize((size_t)(N + 1) * (L + 1) + 64);
+  ST* Hb = H.data() + 32;
+  for (int j = 0; j <= L; j++) Hb[j] = (ST)(kGap * j);
+  // flat predecessor rank lists (+1 for the virtual row), one pass
+  thread_local std::vector<int32_t> pred_flat;
+  thread_local std::vector<int> pred_off;
+  pred_off.resize(N + 1);
+  pred_flat.clear();
+  for (int i = 0; i < N; i++) {
+    pred_off[i] = (int)pred_flat.size();
+    for (int p : g.in_edges[order[i]]) pred_flat.push_back(pos_of[p] + 1);
+    if (pred_flat.size() == (size_t)pred_off[i]) pred_flat.push_back(0);
+  }
+  pred_off[N] = (int)pred_flat.size();
+  // per-character substitution rows, computed once per distinct node char:
+  // subrow(c)[j] = (seq[j-1] == c) ? kMatch : kMismatch  for j in 1..L
+  thread_local std::vector<ST> subrows;
+  subrows.resize(8 * (size_t)(L + 1 + 32));
+  char sub_char[8];
+  int n_sub = 0;
+  auto subrow = [&](char c) -> const ST* {
+    for (int k = 0; k < n_sub; k++)
+      if (sub_char[k] == c) return &subrows[k * (size_t)(L + 1 + 32)];
+    int k = n_sub < 8 ? n_sub++ : 7;
+    sub_char[k] = c;
+    ST* S = &subrows[k * (size_t)(L + 1 + 32)];
+    S[0] = 0;
+    for (int j = 1; j <= L; j++)
+      S[j] = (ST)((seq[j - 1] == c) ? kMatch : kMismatch);
+    return S;
+  };
+  const size_t stride = (size_t)(L + 1);
+  const int n = L + 1;
+  thread_local std::vector<const void*> prow_buf;
+  for (int i = 1; i <= N; i++) {
+    const int32_t* preds = &pred_flat[pred_off[i - 1]];
+    const int npred = pred_off[i] - pred_off[i - 1];
+    ST* Hi = Hb + (size_t)i * stride;
+    const ST* S = subrow(g.chars[order[i - 1]]);
+    prow_buf.resize(std::max<size_t>(prow_buf.size(), npred));
+    const ST** prows = (const ST**)prow_buf.data();
+    int32_t base0 = kNeg;
+    for (int k = 0; k < npred; k++) {
+      prows[k] = Hb + (size_t)preds[k] * stride;
+      base0 = std::max(base0, (int32_t)prows[k][0] + kGap);
+    }
+    RowKernel<ST>::run(Hi, prows, npred, S, n, (ST)base0);
   }
   // best sink at column L
   int best_i = -1;
@@ -316,6 +400,24 @@ void align_seq(Graph& g, const char* seq, int L,
     j--;
   }
   aln.assign(rev.rbegin(), rev.rend());
+}
+
+void align_seq(Graph& g, const char* seq, int L,
+               std::vector<std::pair<int, int>>& aln) {
+  aln.clear();
+  const std::vector<int>& order = g.topo_order();
+  int N = (int)order.size();
+  if (N == 0) {
+    for (int j = 0; j < L; j++) aln.emplace_back(-1, j);
+    return;
+  }
+  // int16 covers candidate-window scales exactly (scores are bounded by
+  // [-8*(N+L), 5*L] and the offset-space prefix max by 13*L); anything
+  // larger takes the int32 path
+  if (N + L <= 3400 && L <= 2200)
+    align_seq_t<int16_t>(g, seq, L, aln);
+  else
+    align_seq_t<int32_t>(g, seq, L, aln);
 }
 
 // add_alignment + record path (mirrors ops/poa._fused_path)
