@@ -599,3 +599,90 @@ void bp_rows_columns(void* b, int64_t* rec_idx, int32_t* bp_type,
 void bp_rows_free(void* b) { delete (BpRows*)b; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Span-site computation (FetchAimRegion semantics, specified by
+// svscope_tpu/select/windows.py::_read_span_sites; parity-tested there):
+// full-read coordinates of the window boundaries inside one alignment
+// record.  Batched over (record, window) jobs so the RoughCompare span
+// test runs as one native pass instead of a per-record Python CIGAR walk.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void span_sites_batch(const uint8_t* cig_blob, const int64_t* cig_off,
+                      const int64_t* cig_len, const int64_t* aln_start,
+                      const int64_t* win_start, const int64_t* win_end,
+                      int64_t n_jobs, int64_t* out_s5, int64_t* out_s3) {
+  std::vector<uint32_t> lens;
+  std::vector<char> ops;
+  std::vector<int64_t> ref_loci, read_loci;
+  for (int64_t jb = 0; jb < n_jobs; jb++) {
+    const char* c = (const char*)cig_blob + cig_off[jb];
+    const char* cend = c + cig_len[jb];
+    lens.clear();
+    ops.clear();
+    uint32_t num = 0;
+    for (const char* p = c; p < cend; p++) {
+      if (*p >= '0' && *p <= '9') {
+        num = num * 10 + (*p - '0');
+      } else {
+        lens.push_back(num);
+        ops.push_back(*p);
+        num = 0;
+      }
+    }
+    int n = (int)ops.size();
+    auto ref_grow = [](char o) {
+      return o == 'D' || o == 'P' || o == 'N' || o == 'M' || o == 'X';
+    };
+    auto read_grow = [](char o) {
+      return o == 'H' || o == 'S' || o == 'I' || o == 'M' || o == 'X';
+    };
+    int64_t a0 = aln_start[jb];
+    ref_loci.assign(1, a0);
+    read_loci.assign(1, 0);
+    for (int k = 0; k < n; k++) {
+      ref_loci.push_back(ref_loci.back() + (ref_grow(ops[k]) ? lens[k] : 0));
+      read_loci.push_back(read_loci.back()
+                          + (read_grow(ops[k]) ? lens[k] : 0));
+    }
+    int first_m = -1, last_m = -1;
+    for (int k = 0; k < n; k++)
+      if (ops[k] == 'M' || ops[k] == 'X') {
+        if (first_m < 0) first_m = k;
+        last_m = k;
+      }
+    if (first_m < 0) {  // no aligned block: degenerate record
+      out_s5[jb] = 0;
+      out_s3[jb] = 0;
+      continue;
+    }
+    int64_t read_start_aln = 0;
+    for (int k = 0; k < first_m; k++) read_start_aln += lens[k];
+    int64_t read_end_aln = 0;
+    for (int k = 0; k <= last_m; k++)
+      if (!(ops[k] == 'D' || ops[k] == 'P' || ops[k] == 'N'))
+        read_end_aln += lens[k];
+    int64_t aln_end = ref_loci.back();
+    int64_t ws = win_start[jb], we = win_end[jb];
+    if (a0 < ws) {
+      int t5 = 0;
+      for (int k = (int)ref_loci.size() - 1; k >= 0; k--)
+        if (ref_loci[k] <= ws) { t5 = k; break; }
+      out_s5[jb] = read_loci[t5] + (ws - ref_loci[t5]);
+    } else {
+      out_s5[jb] = read_start_aln;
+    }
+    if (aln_end > we) {
+      int t3 = 0;
+      for (int k = (int)ref_loci.size() - 1; k >= 0; k--)
+        if (ref_loci[k] <= we) { t3 = k; break; }
+      out_s3[jb] = read_loci[t3] + (we - ref_loci[t3]);
+    } else {
+      out_s3[jb] = read_end_aln;
+    }
+  }
+}
+
+}  // extern "C"

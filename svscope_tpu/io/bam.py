@@ -301,6 +301,20 @@ class AlignmentTable:
     def __len__(self):
         return len(self.start)
 
+    def cig_arrays(self):
+        """(blob, offsets): all cigar strings concatenated as bytes plus
+        int64 offsets (n+1) — the zero-copy form native batch kernels take.
+        Built once and cached."""
+        if getattr(self, "_cig_blob", None) is None:
+            off = np.zeros(len(self.cigar) + 1, np.int64)
+            parts = []
+            for i, c in enumerate(self.cigar):
+                parts.append(c.encode() if isinstance(c, str) else c)
+                off[i + 1] = off[i] + len(parts[-1])
+            self._cig_blob = b"".join(parts)
+            self._cig_off = off
+        return self._cig_blob, self._cig_off
+
     @classmethod
     def from_bam(cls, path: str) -> "AlignmentTable":
         rd = BamReader(path)

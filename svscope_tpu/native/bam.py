@@ -68,6 +68,8 @@ def lib():
         l.bp_rows_count.argtypes = [ct.c_void_p]
         l.bp_rows_columns.argtypes = [ct.c_void_p] + [ct.c_void_p] * 8
         l.bp_rows_free.argtypes = [ct.c_void_p]
+        l.span_sites_batch.argtypes = [ct.c_char_p] + [ct.c_void_p] * 5 \
+            + [ct.c_int64] + [ct.c_void_p] * 2
         _lib = l
     return _lib
 
@@ -229,3 +231,21 @@ class LazyBamReader:
             return []
         sel = (self._start[idx] < end) & (self._end[idx] > start)
         return [self._record(i) for i in idx[sel]]
+
+
+def span_sites(cig_blob: bytes, cig_off, cig_len, aln_start, win_start,
+               win_end):
+    """Batched FetchAimRegion span sites (select/windows._read_span_sites
+    semantics) over (record, window) jobs in one native call."""
+    l = lib()
+    n = len(aln_start)
+    s5 = np.empty(n, np.int64)
+    s3 = np.empty(n, np.int64)
+    l.span_sites_batch(cig_blob,
+                       np.ascontiguousarray(cig_off, np.int64).ctypes.data,
+                       np.ascontiguousarray(cig_len, np.int64).ctypes.data,
+                       np.ascontiguousarray(aln_start, np.int64).ctypes.data,
+                       np.ascontiguousarray(win_start, np.int64).ctypes.data,
+                       np.ascontiguousarray(win_end, np.int64).ctypes.data,
+                       n, s5.ctypes.data, s3.ctypes.data)
+    return s5, s3

@@ -151,24 +151,42 @@ def _read_span_sites(cigar: str, aln_start: int, win_start: int, win_end: int):
 def fetch_span_reads(table: AlignmentTable, chrom: str, start: int, end: int,
                      mapq_cutoff: int = 5):
     """FetchSpanReadDf equivalent (:374-389): spanning reads of [start, end]
-    with their on-read window length.  Returns DataFrame(read -> Length)."""
+    with their on-read window length.  Returns DataFrame(read -> Length).
+
+    The per-record window-boundary walk runs as one native batch call
+    (span_sites_batch) when the C++ scanner is available; the Python walk
+    is the fallback and the parity oracle (tested)."""
     idx = table.fetch_idx(chrom, start, end)
-    rows = {}
-    for i in idx:
-        if table.mapq[i] < mapq_cutoff:
-            continue
-        s5, s3 = _read_span_sites(table.cigar[i], int(table.start[i]),
-                                  start, end)
-        r = rows.setdefault(table.name[i], [[], [], [], []])
-        r[0].append(int(table.start[i]))
-        r[1].append(int(table.end[i]))
-        r[2].append(s5)
-        r[3].append(s3)
-    out = {}
-    for rid, (rs, re_, s5s, s3s) in rows.items():
-        if min(rs) <= start and max(re_) >= end:
-            out[rid] = max(s3s) - min(s5s)
-    return pd.DataFrame({"Length": pd.Series(out, dtype=np.int64)})
+    idx = idx[table.mapq[idx] >= mapq_cutoff] if len(idx) else idx
+    if len(idx) == 0:
+        return pd.DataFrame({"Length": pd.Series({}, dtype=np.int64)})
+    starts = table.start[idx].astype(np.int64)
+    try:
+        from ..native.bam import span_sites
+        blob, off = table.cig_arrays()
+        s5s, s3s = span_sites(blob, off[idx], off[idx + 1] - off[idx],
+                              starts, np.full(len(idx), start, np.int64),
+                              np.full(len(idx), end, np.int64))
+    except Exception:
+        pairs = [_read_span_sites(table.cigar[i], int(table.start[i]),
+                                  start, end) for i in idx]
+        s5s = np.array([p[0] for p in pairs], np.int64)
+        s3s = np.array([p[1] for p in pairs], np.int64)
+    uniq, inv = np.unique(table.name[idx], return_inverse=True)
+    ng = len(uniq)
+    big = np.iinfo(np.int64).max
+    rs = np.full(ng, big)
+    re_ = np.full(ng, -big)
+    s5m = np.full(ng, big)
+    s3m = np.full(ng, -big)
+    np.minimum.at(rs, inv, starts)
+    np.maximum.at(re_, inv, table.end[idx].astype(np.int64))
+    np.minimum.at(s5m, inv, s5s)
+    np.maximum.at(s3m, inv, s3s)
+    keep = (rs <= start) & (re_ >= end)
+    return pd.DataFrame({"Length": pd.Series((s3m - s5m)[keep],
+                                             index=uniq[keep],
+                                             dtype=np.int64)})
 
 
 def rough_compare(t_table, n_table, chrom: str, start: int, end: int,
