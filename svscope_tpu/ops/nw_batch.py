@@ -172,10 +172,10 @@ def misscore_batch(pairs: list[tuple[str, str]], l_buckets=(128, 256, 512,
             ac[k, :len(a)] = np.frombuffer(a.encode(), np.uint8)
             bc[k, :len(b)] = np.frombuffer(b.encode(), np.uint8)
             la[k], lbn[k] = len(a), len(b)
-        _s, m, al = nw_stats_batch(jnp.asarray(ac), jnp.asarray(bc),
-                                   jnp.asarray(la), jnp.asarray(lbn), lbk)
-        m = np.array(m)
-        al = np.array(al)
+        import jax
+        _s, m, al = jax.device_get(nw_stats_batch(
+            jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(la),
+            jnp.asarray(lbn), lbk))
         for k, i in enumerate(idxs):
             out[i] = int(al[k]) - int(m[k])
     return out
