@@ -181,18 +181,19 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                     return jnp.where(dok, 0, jnp.where(uok, 8, d16))
 
                 def fw(_):
-                    dirw = jnp.full((1, l1), 16, jnp.int32)
+                    # one load per pred: first-matching diag and up slots
+                    # tracked separately, then merged by priority
+                    d_diag = jnp.full((1, l1), -1, jnp.int32)
+                    d_up = jnp.full((1, l1), -1, jnp.int32)
                     for p in reversed(range(MAX_PREDS)):
                         v, pr = pred_h(pv, p, w)
                         ok = (pr >= 0) | (p == 0)
                         uok = ok & (hw == v + GAP)
-                        dirw = jnp.where(uok, 8 + p, dirw)
-                    for p in reversed(range(MAX_PREDS)):
-                        v, pr = pred_h(pv, p, w)
-                        ok = (pr >= 0) | (p == 0)
                         dok = ok & (hw == _roll_right(v, 1, NEG) + subw) & jv
-                        dirw = jnp.where(dok, p, dirw)
-                    return dirw
+                        d_up = jnp.where(uok, 8 + p, d_up)
+                        d_diag = jnp.where(dok, p, d_diag)
+                    return jnp.where(d_diag >= 0, d_diag,
+                                     jnp.where(d_up >= 0, d_up, 16))
 
                 rows.append(jax.lax.cond(is_chain(pv, r), cw, fw, 0))
             return jnp.concatenate(rows, axis=0)
