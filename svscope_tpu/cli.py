@@ -308,10 +308,26 @@ def main(argv=None):
     p.set_defaults(func=cmd_viz)
 
     args = parser.parse_args(argv)
-    if hasattr(args, "func"):
-        return args.func(args)
-    parser.print_help()
-    return None
+    if not hasattr(args, "func"):
+        parser.print_help()
+        return None
+    # fail fast with readable messages instead of deep tracebacks
+    for attr, what in (("Tumorbam", "tumor BAM"), ("Normalbam", "normal BAM"),
+                       ("Reference", "reference FASTA"),
+                       ("windowBed", "window bed"),
+                       ("rawBedFile", "Raw.bed"),
+                       ("tandemRepeatFile", "RepeatMasker bed")):
+        val = getattr(args, attr, None)
+        if not val:
+            continue
+        for path in str(val).split(","):
+            if not os.path.exists(path):
+                parser.error(f"{what} not found: {path}")
+    ref = getattr(args, "Reference", None)
+    if ref and not os.path.exists(ref + ".fai"):
+        parser.error(f"reference index not found: {ref}.fai "
+                     "(write_fasta creates it; or `samtools faidx`)")
+    return args.func(args)
 
 
 if __name__ == "__main__":
