@@ -152,3 +152,42 @@ def test_lazy_bam_reader_matches_python(tmp_path):
     assert sorted((r.name, r.pos, r.cigarstring, r.seq, r.flag) for r in a) \
         == sorted((r.name, r.pos, r.cigarstring, r.seq, r.flag) for r in b)
     assert lz.fetch("chrZ", 0, 10) == []
+
+
+def test_lazy_reader_virtual_offsets_multiblock(tmp_path):
+    """Random per-window decode through the BGZF virtual-offset index on a
+    file large enough to span many blocks (records cross block borders)."""
+    from svscope_tpu.native.bam import LazyBamReader
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "big.bam")
+    n = 300
+    seqs = ["".join(rng.choice(list("ACGT"), 800)) for _ in range(n)]
+    with BamWriter(path, ["chr1"], [1_000_000]) as w:
+        for i in range(n):
+            w.write(_mk_record(f"r{i}", 1000 + i * 500, "800M", seqs[i]))
+    lz = LazyBamReader(path)
+    py = BamReader(path)
+    for _ in range(20):
+        s = int(rng.integers(0, 150_000))
+        a = sorted((r.name, r.seq) for r in py.fetch("chr1", s, s + 900))
+        b = sorted((r.name, r.seq) for r in lz.fetch("chr1", s, s + 900))
+        assert a == b
+
+
+def test_span_sites_native_matches_python(tmp_path):
+    from svscope_tpu.native.bam import span_sites
+    from svscope_tpu.select.windows import _read_span_sites
+    cigs = ["100M", "10S80M2000D10M5S", "30I70M", "50H20M40I40M",
+            "5M60D95M", "12S88M"]
+    rng = np.random.default_rng(1)
+    blob = "".join(cigs).encode()
+    off = np.zeros(len(cigs) + 1, np.int64)
+    for i, c in enumerate(cigs):
+        off[i + 1] = off[i] + len(c)
+    starts = rng.integers(0, 5000, len(cigs)).astype(np.int64)
+    ws = starts + rng.integers(-50, 150, len(cigs))
+    we = ws + rng.integers(10, 3000, len(cigs))
+    s5, s3 = span_sites(blob, off[:-1], off[1:] - off[:-1], starts, ws, we)
+    for i, c in enumerate(cigs):
+        e5, e3 = _read_span_sites(c, int(starts[i]), int(ws[i]), int(we[i]))
+        assert (s5[i], s3[i]) == (e5, e3), c

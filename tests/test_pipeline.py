@@ -163,3 +163,14 @@ def test_empty_run_no_svs(tmp_path):
         assert body == []
     adjusted = main(["adjustVCF", "-s", savedir])
     assert os.path.exists(adjusted)
+
+
+def test_cli_friendly_missing_file_error(capsys):
+    import pytest as _pytest
+    from svscope_tpu import cli
+    with _pytest.raises(SystemExit):
+        cli.main(["localGraph", "-w", "/nope.bed", "-T", "/no.bam",
+                  "-N", "/no2.bam", "-t", "T", "-n", "N",
+                  "-r", "/no.fa", "-s", "/tmp/x"])
+    err = capsys.readouterr().err
+    assert "not found" in err
