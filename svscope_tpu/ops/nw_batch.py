@@ -112,6 +112,8 @@ def edit_distance_batch(pairs: list[tuple[str, str]],
         if lbk is None:
             raise ValueError(f"pair {i} longer than {l_buckets[-1]}")
         groups.setdefault(lbk, []).append(i)
+    import jax
+    pending = []
     for lbk, idxs in groups.items():
         B = len(idxs)
         ac = np.zeros((B, lbk), np.uint8)
@@ -126,7 +128,9 @@ def edit_distance_batch(pairs: list[tuple[str, str]],
         s, _m, _al = nw_stats_batch(jnp.asarray(ac), jnp.asarray(bc),
                                     jnp.asarray(la), jnp.asarray(lbn), lbk,
                                     0, -1, -1)
-        s = np.array(s)
+        pending.append((idxs, s))
+    fetched = jax.device_get([s for _, s in pending])
+    for (idxs, _), s in zip(pending, fetched):
         for k, i in enumerate(idxs):
             out[i] = -int(s[k])
     return out
@@ -161,6 +165,10 @@ def misscore_batch(pairs: list[tuple[str, str]], l_buckets=(128, 256, 512,
             out[i] = al - m
         else:
             groups.setdefault(lb, []).append(i)
+    # dispatch every bucket first (async), then fetch everything in one
+    # round trip — each separate fetch pays the full tunnel latency
+    import jax
+    pending = []
     for lbk, idxs in groups.items():
         B = len(idxs)
         ac = np.zeros((B, lbk), np.uint8)
@@ -172,10 +180,11 @@ def misscore_batch(pairs: list[tuple[str, str]], l_buckets=(128, 256, 512,
             ac[k, :len(a)] = np.frombuffer(a.encode(), np.uint8)
             bc[k, :len(b)] = np.frombuffer(b.encode(), np.uint8)
             la[k], lbn[k] = len(a), len(b)
-        import jax
-        _s, m, al = jax.device_get(nw_stats_batch(
-            jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(la),
-            jnp.asarray(lbn), lbk))
+        _s, m, al = nw_stats_batch(jnp.asarray(ac), jnp.asarray(bc),
+                                   jnp.asarray(la), jnp.asarray(lbn), lbk)
+        pending.append((idxs, m, al))
+    fetched = jax.device_get([(m, al) for _, m, al in pending])
+    for (idxs, _, _), (m, al) in zip(pending, fetched):
         for k, i in enumerate(idxs):
             out[i] = int(al[k]) - int(m[k])
     return out
