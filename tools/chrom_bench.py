@@ -46,8 +46,38 @@ def main():
     t0 = time.time()
     ref_path, tumor, normal, _, _ = make_test_pair(
         d, seed=3, ref_len=ref_len, windows=sv_windows, bg_reads_per_10kb=6)
+    # split-alignment LargeDEL events for the InterALN channel: tumor-only
+    # read pairs clipped at two breakpoints ~20 kb apart
+    from svscope_tpu.io.bam import (BamRecord, BamReader, BamWriter,
+                                    parse_cigar_string)
+    n_large = max(args.n_sv // 10, 2)
+    large_bps = []
+    for k in range(n_large):
+        bp1 = int((k + 0.5) * (ref_len // n_large))
+        bp2 = bp1 + 20_000
+        large_bps.append(bp1)
+        recs = []
+        for i in range(6):
+            j1 = bp1 + int(rng.integers(-30, 30))
+            j2 = bp2 + int(rng.integers(-30, 30))
+            for pos, cig in ((j1 - 400, "400M600S"), (j2, "400H600M")):
+                ops, lens = parse_cigar_string(cig)
+                qlen = int(sum(l for o, l in zip(ops, lens)
+                               if o in (0, 1, 4, 7, 8)))
+                recs.append(BamRecord(f"lg{k}r{i}", 0, 0, pos, 60, ops,
+                                      lens, "A" * qlen))
+        rd = BamReader(tumor)
+        old = list(rd.records)
+        with BamWriter(tumor, rd.references, rd.lengths) as w:
+            for r in sorted(old + recs, key=lambda r: r.pos):
+                w.write(r)
+    # RepeatMasker bed covering every 4th planted window (the LC channel)
+    repeat_bed = os.path.join(d, "repeats.bed")
+    with open(repeat_bed, "w") as f:
+        for w in sv_windows[::4]:
+            f.write(f"chr1\t{w['start'] - 40}\t{w['end'] + 40}\n")
     print(f"[synth] {time.time()-t0:.1f}s  ref {ref_len/1e6:.1f} Mb, "
-          f"{args.n_sv} SVs, depth {args.depth}")
+          f"{args.n_sv} SVs + {n_large} LargeDELs, depth {args.depth}")
 
     from svscope_tpu.native.bam import scan_with_breakpoints
     from svscope_tpu.select.windows import find_candidate_sv_windows
@@ -63,11 +93,15 @@ def main():
 
     t0 = time.time()
     paths = find_candidate_sv_windows(t_table, n_table, ref_path + ".fai",
-                                      None, d, t_bp=t_bp, n_bp=n_bp)
-    write_interaln_vcf(d, ref_path + ".fai", "tumor", paths)
+                                      repeat_bed, d, t_bp=t_bp, n_bp=n_bp)
+    inter = write_interaln_vcf(d, ref_path + ".fai", "tumor", paths)
     windows = [l for l in open(paths["somatic_bed"]).read().splitlines()
                if l.strip()]
-    print(f"[select] {time.time()-t0:.1f}s  {len(windows)} candidate windows")
+    n_inter = sum(1 for l in open(inter) if not l.startswith("#"))
+    n_ldel = sum(1 for l in open(inter) if "SVTYPE=LargeDEL" in l)
+    print(f"[select] {time.time()-t0:.1f}s  {len(windows)} candidate "
+          f"windows; InterALN {n_inter} records ({n_ldel} LargeDEL of "
+          f"{n_large} planted)")
 
     t0 = time.time()
     raw = run_local_graph(windows, ref_path, [tumor], [normal], ["T1"],
@@ -82,6 +116,10 @@ def main():
         genomeWindow=None, device_dtype="float32")
     merged = svcli.cmd_aln_feature(ns)
     print(f"[AlnFeature] {time.time()-t0:.1f}s  -> {merged}")
+
+    t0 = time.time()
+    svcli.cmd_adjust_vcf(argparse.Namespace(savedir=d))
+    print(f"[adjustVCF] {time.time()-t0:.1f}s")
 
     # recall: planted windows hit by a somatic Raw.bed row
     som_spans = [(int(l.split("\t")[1]), int(l.split("\t")[2]))
