@@ -85,6 +85,23 @@ def _genome_windows(args, fai):
     return make_genome_windows(fai)
 
 
+def _cleanup_dat(savedir):
+    """--cleanupDat: drop intermediate artifacts after a full run.
+
+    The reference removes its bed.gz/SQLite intermediates after
+    DataPrepare (src/SVscope.py:101-109) and the saved window payloads
+    after callsomaticSV --cleanupDat (src/SVscope.py:341-356); the
+    equivalents here are the selection Candidate*.bed files and the
+    WindowDat npz batches."""
+    import glob
+    n = 0
+    for pat in ("Candidate*.bed", "WindowDat.*.npz"):
+        for f in glob.glob(os.path.join(savedir, pat)):
+            os.remove(f)
+            n += 1
+    log.info("cleanupDat: removed %d intermediate files", n)
+
+
 def cmd_data_prepare(args):
     from .select.windows import find_candidate_sv_windows
     from .select.interaln import write_interaln_vcf
@@ -112,6 +129,8 @@ def cmd_data_prepare(args):
         elif args.FullProcess:
             args.rawBedFile = cmd_local_graph(args)
             cmd_aln_feature(args)
+    if getattr(args, "cleanupDat", False):
+        _cleanup_dat(args.savedir)
     log.info("DataPrepare: all processes finished")
 
 
@@ -180,6 +199,8 @@ def cmd_aln_feature(args):
 def cmd_call_somatic_sv(args):
     args.rawBedFile = cmd_local_graph(args)
     merged = cmd_aln_feature(args)
+    if getattr(args, "cleanupDat", False):
+        _cleanup_dat(args.savedir)
     return merged
 
 
