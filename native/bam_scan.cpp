@@ -100,7 +100,8 @@ bool index_blocks(Table* t) {
   }
   t->blk_coff.push_back(pos);
   t->blk_uoff.push_back(u);
-  return !t->blk_coff.empty();
+  // a valid BGZF stream has at least one block (the EOF marker counts)
+  return t->blk_coff.size() >= 2;
 }
 
 // Inflate block b into out (sized for it).
@@ -267,13 +268,9 @@ void parse_stream(Table* t, bool lazy, int n_threads) {
       t->cigar_off.push_back((uint32_t)t->cigars.size());
       t->end.push_back(rpos + ref_span);
     }
-    if (next_blk >= nb && pos >= buf.size()) break;
-    if (next_blk >= nb && pos < buf.size() && pos + 4 > buf.size()) break;
-    if (next_blk >= nb) {
-      // incomplete trailing record with no more blocks: stop
-      size_t rem = buf.size() - pos;
-      if (rem < 4 || pos + 4 + (size_t)rd_i32(pos) > buf.size()) break;
-    }
+    // once every block is inflated, the parse loop above consumed every
+    // complete record; anything left is a truncated trailer
+    if (next_blk >= nb) break;
     // drop the consumed prefix to keep memory bounded
     if (pos > (kChunkBlocks << 16)) {
       buf.erase(0, pos);
@@ -288,13 +285,6 @@ void parse_stream(Table* t, bool lazy, int n_threads) {
     t->blk_uoff.clear();
     t->blk_uoff.shrink_to_fit();
   }
-}
-
-Table* open_common(bool lazy, int n_threads) {
-  auto* t = new Table();
-  (void)lazy;
-  (void)n_threads;
-  return t;
 }
 
 // Ensure the uncompressed range [u0, u0+len) is in t->cache.
@@ -325,7 +315,7 @@ extern "C" {
 
 void* bam_scan_open_threads(const uint8_t* raw, int64_t rawlen, int32_t lazy,
                             int32_t n_threads) {
-  Table* t = open_common(lazy, n_threads);
+  auto* t = new Table();
   if (lazy) {
     t->comp_owned.assign((const char*)raw, (size_t)rawlen);
     t->comp = (const uint8_t*)t->comp_owned.data();

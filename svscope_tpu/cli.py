@@ -86,19 +86,18 @@ def _genome_windows(args, fai):
 
 
 def _cleanup_dat(savedir):
-    """--cleanupDat: drop intermediate artifacts after a full run.
-
-    The reference removes its bed.gz/SQLite intermediates after
-    DataPrepare (src/SVscope.py:101-109) and the saved window payloads
-    after callsomaticSV --cleanupDat (src/SVscope.py:341-356); the
-    equivalents here are the selection Candidate*.bed files and the
-    WindowDat npz batches."""
+    """--cleanupDat: drop intermediate artifacts after a *full* run
+    (the reference removes its bed.gz/SQLite intermediates,
+    src/SVscope.py:101-109).  Only selection intermediates go; the final
+    somatic window bed and any --saveData npz payloads are outputs and
+    stay."""
     import glob
     n = 0
-    for pat in ("Candidate*.bed", "WindowDat.*.npz"):
-        for f in glob.glob(os.path.join(savedir, pat)):
-            os.remove(f)
-            n += 1
+    for f in glob.glob(os.path.join(savedir, "Candidate*.bed")):
+        if f.endswith(".somatic.bed"):
+            continue
+        os.remove(f)
+        n += 1
     log.info("cleanupDat: removed %d intermediate files", n)
 
 
@@ -129,8 +128,8 @@ def cmd_data_prepare(args):
         elif args.FullProcess:
             args.rawBedFile = cmd_local_graph(args)
             cmd_aln_feature(args)
-    if getattr(args, "cleanupDat", False):
-        _cleanup_dat(args.savedir)
+            if getattr(args, "cleanupDat", False):
+                _cleanup_dat(args.savedir)
     log.info("DataPrepare: all processes finished")
 
 

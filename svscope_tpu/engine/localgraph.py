@@ -199,10 +199,17 @@ def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
               for off in range(0, len(wins), PIPELINE_CHUNK)]
     records: list[list] = []
     with ThreadPoolExecutor(1) as prefetch:
-        futs = [prefetch.submit(_stage_a, c, t_label, hcutoff, scutoff,
-                                device_poa, threads) for c in chunks]
-        for fut in futs:
-            entries, ready = fut.result()
+        # one-chunk lookahead: keeps peak memory at O(PIPELINE_CHUNK)
+        # instead of buffering stage-A output for the whole stream
+        pending = [prefetch.submit(_stage_a, c, t_label, hcutoff, scutoff,
+                                   device_poa, threads)
+                   for c in chunks[:2]]
+        for ci in range(len(chunks)):
+            entries, ready = pending.pop(0).result()
+            if ci + 2 < len(chunks):
+                pending.append(prefetch.submit(
+                    _stage_a, chunks[ci + 2], t_label, hcutoff, scutoff,
+                    device_poa, threads))
             records.extend(_finish_chunk(entries, ready, t_label, readcutoff,
                                          em_dtype, device_poa, threads))
     return records
@@ -252,26 +259,29 @@ def run_local_graph(window_records: list[str], reference: str,
     batches = [todo[off:off + batch_size]
                for off in range(0, len(todo), batch_size)]
     next_fut = loader.submit(make_batch, batches[0]) if batches else None
-    for bi, chunk in enumerate(batches):
-        wins = next_fut.result()
-        off = bi * batch_size
-        if bi + 1 < len(batches):
-            next_fut = loader.submit(make_batch, batches[bi + 1])
-        records = process_window_batch(
-            wins, t_label=t_label, readcutoff=readcutoff, hcutoff=hcutoff,
-            scutoff=scutoff, em_dtype=em_dtype, device_poa=device_poa,
-            threads=threads)
-        for rec, win, record in zip(chunk, wins, records):
-            # DUP corner rescue on any non-EMOutput result
-            # (src/SomTDDetector.py:41-58; trigger column replicated)
-            parts = rec.strip().split("\t")
-            svtype = parts[3].split(",")[0] if len(parts) > 3 else ""
-            if record[-1].split("|")[-1] != "EMOutput" and svtype == "DUP":
-                record = dup_rescue(record, win, rec, make_data2, decide_seq)
-            rows.append(record)
-        log.info("localGraph: %d/%d windows, %.1fs", off + len(chunk),
-                 len(todo), time.time() - t0)
-    loader.shutdown()
+    try:
+        for bi, chunk in enumerate(batches):
+            wins = next_fut.result()
+            off = bi * batch_size
+            if bi + 1 < len(batches):
+                next_fut = loader.submit(make_batch, batches[bi + 1])
+            records = process_window_batch(
+                wins, t_label=t_label, readcutoff=readcutoff,
+                hcutoff=hcutoff, scutoff=scutoff, em_dtype=em_dtype,
+                device_poa=device_poa, threads=threads)
+            for rec, win, record in zip(chunk, wins, records):
+                # DUP corner rescue on any non-EMOutput result
+                # (src/SomTDDetector.py:41-58; trigger column replicated)
+                parts = rec.strip().split("\t")
+                svtype = parts[3].split(",")[0] if len(parts) > 3 else ""
+                if record[-1].split("|")[-1] != "EMOutput" and svtype == "DUP":
+                    record = dup_rescue(record, win, rec, make_data2,
+                                        decide_seq)
+                rows.append(record)
+            log.info("localGraph: %d/%d windows, %.1fs", off + len(chunk),
+                     len(todo), time.time() - t0)
+    finally:
+        loader.shutdown(wait=False, cancel_futures=True)
     out_rows = existing + ["\t".join(str(x) for x in r) for r in rows]
     out_rows.sort(key=lambda l: (l.split("\t")[0], int(l.split("\t")[1])))
     with open(out_path, "w") as f:

@@ -190,6 +190,9 @@ class LazyBamReader:
     def __init__(self, path: str, threads: int = 4):
         self._lib = lib()
         self._h = self._lib.bam_scan_open_path(path.encode(), 1, threads)
+        # record decode mutates the C++ block-span cache and the shared
+        # sequence buffer; localGraph prefetch threads share this reader
+        self._fetch_lock = threading.Lock()
         (self.references, self.lengths, self._ref_id, self._start,
          self._end, self._mapq, self._flag, self._names,
          self._cigars) = _extract(self._lib, self._h, path)
@@ -210,11 +213,12 @@ class LazyBamReader:
 
     def _record(self, i: int):
         from ..io.bam import BamRecord, parse_cigar_string
-        n = self._lib.bam_scan_record_seq(self._h, int(i), self._seq_buf,
-                                          len(self._seq_buf))
-        if n < 0:
-            raise RuntimeError("record sequence decode failed")
-        seq = self._seq_buf.raw[:n].decode()
+        with self._fetch_lock:
+            n = self._lib.bam_scan_record_seq(self._h, int(i), self._seq_buf,
+                                              len(self._seq_buf))
+            if n < 0:
+                raise RuntimeError("record sequence decode failed")
+            seq = self._seq_buf.raw[:n].decode()
         ops, lens = parse_cigar_string(self._cigars[i])
         return BamRecord(self._names[i], int(self._flag[i]),
                          int(self._ref_id[i]), int(self._start[i]),
@@ -241,11 +245,13 @@ def span_sites(cig_blob: bytes, cig_off, cig_len, aln_start, win_start,
     n = len(aln_start)
     s5 = np.empty(n, np.int64)
     s3 = np.empty(n, np.int64)
-    l.span_sites_batch(cig_blob,
-                       np.ascontiguousarray(cig_off, np.int64).ctypes.data,
-                       np.ascontiguousarray(cig_len, np.int64).ctypes.data,
-                       np.ascontiguousarray(aln_start, np.int64).ctypes.data,
-                       np.ascontiguousarray(win_start, np.int64).ctypes.data,
-                       np.ascontiguousarray(win_end, np.int64).ctypes.data,
+    # bind conversions to locals: .ctypes.data of a temporary would dangle
+    co = np.ascontiguousarray(cig_off, np.int64)
+    cl = np.ascontiguousarray(cig_len, np.int64)
+    st = np.ascontiguousarray(aln_start, np.int64)
+    ws = np.ascontiguousarray(win_start, np.int64)
+    we = np.ascontiguousarray(win_end, np.int64)
+    l.span_sites_batch(cig_blob, co.ctypes.data, cl.ctypes.data,
+                       st.ctypes.data, ws.ctypes.data, we.ctypes.data,
                        n, s5.ctypes.data, s3.ctypes.data)
     return s5, s3

@@ -114,7 +114,10 @@ def _device_round(graphs, items, host_only, engine: str = "xla"):
                 nn[len(chunk):] = nn[0]
                 seqs[len(chunk):] = seqs[0]
                 lens[len(chunk):] = lens[0]
-            if engine == "pallas":
+            # the Pallas kernel keeps 2 full (N+1, 8, L+1) int32 planes in
+            # VMEM; buckets past ~100 MB fall back to the XLA aligner
+            pallas_ok = 2 * (nb + 1) * 8 * (lb + 1) * 4 <= 100 * 1024 * 1024
+            if engine == "pallas" and pallas_ok:
                 from .poa_pallas import align_batch_pallas
                 an, asp, ke, _sc = jax.device_get(align_batch_pallas(
                     chars, preds, sinks, nn, seqs, lens, lb))

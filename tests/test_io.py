@@ -191,3 +191,14 @@ def test_span_sites_native_matches_python(tmp_path):
     for i, c in enumerate(cigs):
         e5, e3 = _read_span_sites(c, int(starts[i]), int(ws[i]), int(we[i]))
         assert (s5[i], s3[i]) == (e5, e3), c
+
+
+def test_corrupt_bam_inputs_error(tmp_path):
+    from svscope_tpu.native.bam import scan_alignment_table, LazyBamReader
+    import pytest as _pytest
+    for content in (b"garbage!!", b"", b"\x1f\x8b" + b"\x00" * 8):
+        f = tmp_path / "bad.bam"
+        f.write_bytes(content)
+        for opener in (scan_alignment_table, LazyBamReader):
+            with _pytest.raises((ValueError, RuntimeError)):
+                opener(str(f))
