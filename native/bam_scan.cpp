@@ -254,10 +254,54 @@ void parse_stream(Table* t, bool lazy, int n_threads) {
       t->names.append(buf.data() + rec + 32, l_read_name - 1);
       t->name_off.push_back((uint32_t)t->names.size());
       size_t coff = rec + 32 + l_read_name;
+      int32_t l_seq;
+      memcpy(&l_seq, buf.data() + rec + 16, 4);
+      const uint8_t* cig_ptr = (const uint8_t*)buf.data() + coff;
+      uint32_t n_ops = n_cigar;
+      // >65535-op alignments store a kSmN placeholder in-record and the
+      // real CIGAR in the CG:B,I aux tag (SAM spec 4.2.2)
+      if (n_cigar == 2 && l_seq > 0) {
+        uint32_t c0, c1;
+        memcpy(&c0, cig_ptr, 4);
+        memcpy(&c1, cig_ptr + 4, 4);
+        if ((c0 & 0xF) == 4 && (int32_t)(c0 >> 4) == l_seq
+            && (c1 & 0xF) == 3) {
+          size_t aux = coff + 8ull + ((size_t)l_seq + 1) / 2 + l_seq;
+          size_t rec_end = rec + block_size;
+          while (aux + 4 <= rec_end) {
+            char tg0 = buf[aux], tg1 = buf[aux + 1], ty = buf[aux + 2];
+            size_t payload = aux + 3;
+            size_t sz;
+            if (ty == 'A' || ty == 'c' || ty == 'C') sz = 1;
+            else if (ty == 's' || ty == 'S') sz = 2;
+            else if (ty == 'i' || ty == 'I' || ty == 'f') sz = 4;
+            else if (ty == 'Z' || ty == 'H') {
+              sz = 0;
+              while (payload + sz < rec_end && buf[payload + sz]) sz++;
+              sz++;
+            } else if (ty == 'B') {
+              char sub = buf[payload];
+              uint32_t cnt;
+              memcpy(&cnt, buf.data() + payload + 1, 4);
+              size_t esz = (sub == 'c' || sub == 'C') ? 1
+                           : (sub == 's' || sub == 'S') ? 2 : 4;
+              if (tg0 == 'C' && tg1 == 'G' && sub == 'I') {
+                cig_ptr = (const uint8_t*)buf.data() + payload + 5;
+                n_ops = cnt;
+                break;
+              }
+              sz = 5 + (size_t)cnt * esz;
+            } else {
+              break;  // unknown type: stop walking
+            }
+            aux = payload + sz;
+          }
+        }
+      }
       int64_t ref_span = 0;
-      for (int k = 0; k < n_cigar; k++) {
+      for (uint32_t k = 0; k < n_ops; k++) {
         uint32_t c;
-        memcpy(&c, buf.data() + coff + 4ull * k, 4);
+        memcpy(&c, cig_ptr + 4ull * k, 4);
         uint32_t op = c & 0xF;
         uint32_t len = c >> 4;
         if (op < 9 && kRefConsume[op]) ref_span += len;
@@ -387,7 +431,7 @@ int64_t bam_scan_record_seq(void* h, int64_t idx, char* out, int64_t cap) {
   memcpy(&n_cigar, p + 12, 2);
   int32_t l_seq;
   memcpy(&l_seq, p + 16, 4);
-  if (l_seq > cap) return -1;
+  if (l_seq > cap) return -((int64_t)l_seq + 1);  // caller grows + retries
   uint64_t seq_off = rec + 32 + l_read_name + 4ull * n_cigar;
   uint64_t seq_bytes = ((uint64_t)l_seq + 1) / 2;
   if (!ensure_range(t, seq_off, seq_bytes)) return -1;
@@ -483,9 +527,10 @@ void extract_bp(Table* t, int64_t i, int indel_cutoff, int clip_cutoff,
     }
   }
   int n = (int)ops.size();
+  auto is_m = [](char o) { return o == 'M' || o == '=' || o == 'X'; };
   int first_m = -1, last_m = -1;
   for (int k = 0; k < n; k++)
-    if (ops[k] == 'M' || ops[k] == 'X') {
+    if (is_m(ops[k])) {
       if (first_m < 0) first_m = k;
       last_m = k;
     }
@@ -502,7 +547,7 @@ void extract_bp(Table* t, int64_t i, int indel_cutoff, int clip_cutoff,
   int64_t ref_before = 0;
   for (int k = 0; k < n; k++) {
     char o = ops[k];
-    bool ismatch = (o == 'M' || o == 'X');
+    bool ismatch = is_m(o);
     if ((o == 'D' || o == 'I') && (int)lens[k] >= indel_cutoff) {
       int64_t rs = start + ref_before;
       out.rec_idx.push_back(i);
@@ -521,7 +566,7 @@ void extract_bp(Table* t, int64_t i, int indel_cutoff, int clip_cutoff,
   auto opAt = [&](int k) { return rev ? ops[n - 1 - k] : ops[k]; };
   auto lenAt = [&](int k) { return lens[rev ? n - 1 - k : k]; };
   for (int k = 0; k < n; k++)
-    if (opAt(k) == 'M' || opAt(k) == 'X') {
+    if (is_m(opAt(k))) {
       if (fm < 0) fm = k;
       lm = k;
     }
@@ -624,10 +669,12 @@ void span_sites_batch(const uint8_t* cig_blob, const int64_t* cig_off,
     }
     int n = (int)ops.size();
     auto ref_grow = [](char o) {
-      return o == 'D' || o == 'P' || o == 'N' || o == 'M' || o == 'X';
+      return o == 'D' || o == 'P' || o == 'N' || o == 'M' || o == '=' ||
+             o == 'X';
     };
     auto read_grow = [](char o) {
-      return o == 'H' || o == 'S' || o == 'I' || o == 'M' || o == 'X';
+      return o == 'H' || o == 'S' || o == 'I' || o == 'M' || o == '=' ||
+             o == 'X';
     };
     int64_t a0 = aln_start[jb];
     ref_loci.assign(1, a0);
@@ -639,7 +686,7 @@ void span_sites_batch(const uint8_t* cig_blob, const int64_t* cig_off,
     }
     int first_m = -1, last_m = -1;
     for (int k = 0; k < n; k++)
-      if (ops[k] == 'M' || ops[k] == 'X') {
+      if (ops[k] == 'M' || ops[k] == '=' || ops[k] == 'X') {
         if (first_m < 0) first_m = k;
         last_m = k;
       }

@@ -225,54 +225,6 @@ def _em_all_k_core(x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
 
 _em_all_k = functools.partial(jax.jit, static_argnames=("nsteps",))(_em_all_k_core)
 
-# batched over a leading window axis (windows padded to one shape bucket)
-_em_all_k_batch = functools.partial(jax.jit, static_argnames=("nsteps",))(
-    jax.vmap(_em_all_k_core, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
-
-
-def _em_all_k_light(x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
-                    zero_param_num, keys, nsteps: int = NSTEP):
-    """bics + gammas only — the production localGraph path.  Decision logic
-    consumes cluster labels, never theta/pi (src/DecisionMaker.py:138-190),
-    and the per-K theta stack dwarfs everything else in transfer bytes."""
-    bics, gammas, _pis, _thetas = _em_all_k_core(
-        x_oh, read_mask, gamma0_all, kmask_all, n_true, nf_true,
-        zero_param_num, keys, nsteps)
-    return bics, gammas
-
-
-_em_all_k_batch_light = functools.partial(
-    jax.jit, static_argnames=("nsteps",))(
-    jax.vmap(_em_all_k_light, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
-
-
-def _em_codes_one(codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype):
-    """Device-side expansion of the compact per-window payload: int8 MSA
-    codes (pad=5 one-hots to zero), Ward hard labels per K, scalar counts.
-    Host->device traffic drops ~20x vs shipping f32 one-hots — that is the
-    difference between tunnel-transfer-bound and compute-bound."""
-    n_pad, nf_pad = codes.shape
-    x_oh = (codes[..., None] == jnp.arange(ALPHA, dtype=codes.dtype)
-            ).astype(dtype)
-    ar = jnp.arange(n_pad)
-    read_mask = (ar < n_true).astype(dtype)
-    gamma0_all = ((hard[:, :, None] == jnp.arange(MAX_K, dtype=hard.dtype))
-                  .astype(dtype) * read_mask[None, :, None])
-    ki = jnp.arange(MAX_K)
-    kmask_all = (ki[None, :] <= ki[:, None]) & (ki[:, None] < n_k)
-    return _em_all_k_light(x_oh, read_mask, gamma0_all, kmask_all,
-                           n_true.astype(dtype), nf_true.astype(dtype),
-                           zpn.astype(dtype), keys, nsteps)
-
-
-@functools.partial(jax.jit, static_argnames=("nsteps", "dtype"))
-def _em_codes_batch(codes, hard, n_k, n_true, nf_true, zpn, keys,
-                    nsteps: int = NSTEP, dtype=jnp.float32):
-    return jax.vmap(_em_codes_one,
-                    in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
-        codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
-
-
 # ---------------------------------------------------------------------------
 # K-folded batched EM: all 9 K-runs of a window share one segmented slot
 # axis (sum_{K=1..9} K = 45 cluster slots), so each EM step is ONE pair of

@@ -216,6 +216,11 @@ class LazyBamReader:
         with self._fetch_lock:
             n = self._lib.bam_scan_record_seq(self._h, int(i), self._seq_buf,
                                               len(self._seq_buf))
+            if n < -1:          # -(needed+1): grow the buffer and retry
+                self._seq_buf = ct.create_string_buffer(-int(n))
+                n = self._lib.bam_scan_record_seq(self._h, int(i),
+                                                  self._seq_buf,
+                                                  len(self._seq_buf))
             if n < 0:
                 raise RuntimeError("record sequence decode failed")
             seq = self._seq_buf.raw[:n].decode()

@@ -14,7 +14,13 @@ import re
 
 
 def _parse_uuid_region(uuid: str):
-    chrom, start, end = re.split("[_-]", uuid.split(".")[-1])
+    """UUID region 'chrom_start-end' -> (chrom, start, end).
+
+    Split from the right: contig names may themselves contain '_' or '-'
+    (GRCh38 alts/randoms like chrUn_KI270302v1)."""
+    region = uuid.split(".")[-1]
+    head, end = region.rsplit("-", 1)
+    chrom, start = head.rsplit("_", 1)
     return chrom, int(start), int(end)
 
 

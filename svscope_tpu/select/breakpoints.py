@@ -69,7 +69,7 @@ def span_breakpoints(chrom: str, start: int, end: int, read_id: str,
     """GetSpanReads + ParseCLIP equivalent for one alignment record."""
     bp = out if out is not None else BreakpointRows()
     letters, nums = _cigar_letters_numbers(cigar)
-    is_match = np.isin(letters, ("M", "X"))
+    is_match = np.isin(letters, ("M", "=", "X"))
     match_idx = np.flatnonzero(is_match)
     if match_idx.size == 0:
         return bp
@@ -112,7 +112,7 @@ def span_breakpoints(chrom: str, start: int, end: int, read_id: str,
         letters_c, nums_c = letters[::-1], nums[::-1]
     else:
         letters_c, nums_c = letters, nums
-    m_idx = np.flatnonzero(np.isin(letters_c, ("M", "X")))
+    m_idx = np.flatnonzero(np.isin(letters_c, ("M", "=", "X")))
     rg_c = np.isin(letters_c, ("D", "P", "N"))
     rs_c = int(nums_c[:m_idx[0]].sum())
     upto_c = m_idx[-1] + 1

@@ -124,12 +124,14 @@ def _read_span_sites(cigar: str, aln_start: int, win_start: int, win_end: int):
     the window boundaries inside this alignment record."""
     ops, lens = parse_cigar_string(cigar)
     letters = np.array(list("MIDNSHP=X"))[ops]
-    ref_grow = np.isin(letters, ("D", "P", "N", "M", "X"))
-    read_grow = np.isin(letters, ("H", "S", "I", "M", "X"))
+    ref_grow = np.isin(letters, ("D", "P", "N", "M", "=", "X"))
+    read_grow = np.isin(letters, ("H", "S", "I", "M", "=", "X"))
     ref_loci = np.concatenate([[aln_start],
                                aln_start + np.cumsum(np.where(ref_grow, lens, 0))])
     read_loci = np.concatenate([[0], np.cumsum(np.where(read_grow, lens, 0))])
-    m_idx = np.flatnonzero(np.isin(letters, ("M", "X")))
+    m_idx = np.flatnonzero(np.isin(letters, ("M", "=", "X")))
+    if m_idx.size == 0:       # no aligned block (e.g. CG-placeholder)
+        return 0, 0
     read_start_aln = int(lens[:m_idx[0]].sum())
     upto = m_idx[-1] + 1
     rg = np.isin(letters, ("D", "P", "N"))

@@ -69,23 +69,28 @@ def overlap_pairs(a_starts, a_ends, b_starts, b_ends):
     """
     a_starts = np.asarray(a_starts, np.int64); a_ends = np.asarray(a_ends, np.int64)
     b_starts = np.asarray(b_starts, np.int64); b_ends = np.asarray(b_ends, np.int64)
-    ai_out, bi_out = [], []
     if a_starts.size == 0 or b_starts.size == 0:
         z = np.empty(0, np.intp)
         return z, z, np.empty(0, np.int64)
     bo = np.argsort(b_starts, kind="stable")
     bs, be = b_starts[bo], b_ends[bo]
-    # for each a, b-candidates have bs < ae and be > as; use searchsorted on bs
-    hi = np.searchsorted(bs, a_ends, side="left")  # bs < ae
-    for i in range(a_starts.size):
-        cand = np.arange(hi[i])
-        if cand.size == 0:
-            continue
-        sel = cand[be[cand] > a_starts[i]]
-        if sel.size:
-            ai_out.append(np.full(sel.size, i, np.intp))
-            bi_out.append(bo[sel].astype(np.intp))
-    if not ai_out:
+    # candidates for a: bs < ae (prefix in start order) AND be > as.  The
+    # prefix is bounded below via the running max of be (monotone), so the
+    # scanned span is ~output-sized for genomic interval sets instead of
+    # O(n_a * n_b)
+    hi = np.searchsorted(bs, a_ends, side="left")
+    cummax_be = np.maximum.accumulate(be)
+    lo = np.minimum(np.searchsorted(cummax_be, a_starts, side="right"), hi)
+    lens = hi - lo
+    tot = int(lens.sum())
+    ai_all = np.repeat(np.arange(a_starts.size, dtype=np.intp), lens)
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    flat = (np.arange(tot, dtype=np.int64) - np.repeat(off, lens)
+            + np.repeat(lo, lens))
+    keep = be[flat] > a_starts[ai_all]
+    ai_out = [ai_all[keep]]
+    bi_out = [bo[flat[keep]].astype(np.intp)]
+    if tot == 0 or not keep.any():
         z = np.empty(0, np.intp)
         return z, z, np.empty(0, np.int64)
     ai = np.concatenate(ai_out)

@@ -202,3 +202,68 @@ def test_corrupt_bam_inputs_error(tmp_path):
         for opener in (scan_alignment_table, LazyBamReader):
             with _pytest.raises((ValueError, RuntimeError)):
                 opener(str(f))
+
+
+def test_overlap_pairs_brute_force_equivalence():
+    from svscope_tpu.utils.intervals import overlap_pairs
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        na, nb = rng.integers(0, 40, 2)
+        a_s = rng.integers(0, 1000, na)
+        a_e = a_s + rng.integers(1, 300, na)
+        b_s = rng.integers(0, 1000, nb)
+        b_e = b_s + rng.integers(1, 300, nb)
+        ai, bi, ov = overlap_pairs(a_s, a_e, b_s, b_e)
+        got = set(zip(ai.tolist(), bi.tolist()))
+        want = {(i, j) for i in range(na) for j in range(nb)
+                if min(a_e[i], b_e[j]) - max(a_s[i], b_s[j]) > 0}
+        assert got == want, trial
+        assert (ov > 0).all()
+
+
+def test_cg_tag_long_cigar(tmp_path):
+    """>65535-op alignments (kSmN placeholder + CG:B,I aux) parse to the
+    real CIGAR in the native scanner."""
+    import struct
+    from svscope_tpu.io import bgzf
+    from svscope_tpu.native.bam import scan_alignment_table
+    # real cigar: 10M5D10M (ref span 25), stored as 20S25N + CG tag
+    seq = "ACGTACGTACGTACGTACGT"          # 20 bases
+    name_b = b"cgread\x00"
+    real_ops = [(10, 0), (5, 2), (10, 0)]  # (len, op) with M=0, D=2
+    cg_payload = b"CGBI" + struct.pack("<I", len(real_ops)) + b"".join(
+        struct.pack("<I", (l << 4) | op) for l, op in real_ops)
+    placeholder = struct.pack("<II", (20 << 4) | 4, (25 << 4) | 3)  # 20S 25N
+    codes = {"A": 1, "C": 2, "G": 4, "T": 8}
+    packed = bytearray()
+    for i in range(0, len(seq), 2):
+        hi = codes[seq[i]] << 4
+        lo = codes[seq[i + 1]] if i + 1 < len(seq) else 0
+        packed.append(hi | lo)
+    body = struct.pack("<iiBBHHHiiii", 0, 500, len(name_b), 60, 0, 2, 0,
+                       len(seq), -1, -1, 0)
+    body += name_b + placeholder + bytes(packed) + b"\xff" * len(seq)
+    body += cg_payload
+    text = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n"
+    out = b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
+    out += struct.pack("<i", 1)
+    out += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", 10000)
+    out += struct.pack("<i", len(body)) + body
+    path = str(tmp_path / "cg.bam")
+    bgzf.compress_to_file(path, out)
+    tab = scan_alignment_table(path)
+    assert len(tab) == 1
+    assert tab.cigar[0] == "10M5D10M"
+    assert int(tab.end[0]) == 525
+
+
+def test_lazy_reader_grows_seq_buffer(tmp_path):
+    from svscope_tpu.native.bam import LazyBamReader
+    n = 1_200_000
+    seq = "ACGT" * (n // 4)
+    path = str(tmp_path / "long.bam")
+    with BamWriter(path, ["chr1"], [2 * n]) as w:
+        w.write(_mk_record("ultra", 100, f"{n}M", seq))
+    rd = LazyBamReader(path)
+    recs = rd.fetch("chr1", 200, 300)
+    assert len(recs) == 1 and recs[0].seq == seq
