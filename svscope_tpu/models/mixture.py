@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..utils.jaxcfg import enable_cache
 
 enable_cache()
-from scipy.cluster.hierarchy import linkage, fcluster
+from scipy.cluster.hierarchy import linkage
 
 ALPHA = 5          # alphabet size {A,T,C,G,-}
 MAX_K = 9          # reference max cluster count (src/ReadsCluster.py:221)
@@ -283,15 +283,24 @@ def _em_folded_one(codes, hard, n_k, n_true, nf_true, zpn, key,
         logt = jnp.log(jnp.clip(theta, EPS, 1 - EPS))
         M = x_flat @ logt.T + jnp.log(jnp.clip(pi, EPS, 1 - EPS))[None, :]
         M = jnp.where(slot_active[None, :], M, NEG_BIG)
-        # segment softmax (== reference reciprocal-sum, src/ReadsCluster.py:153)
+        # segment softmax (== reference reciprocal-sum, src/ReadsCluster.py:153).
+        # Segment max/denominator spread via exact gathers, NOT one-hot
+        # matmuls: XLA computes f32 dots at bf16-level precision (MXU on
+        # TPU, oneDNN fast path on CPU), and a ~2e-4 relative error on the
+        # inactive-run sentinel (-1e30) makes M - m_slot ~ +2e26, whose
+        # exp overflows to inf and poisons every segment sum with inf*0=NaN
+        # for any window with fewer than MAX_K+1 reads.
         segmax_runs = []
         for r in range(MAX_K):
             o = int(RUN_OFF[r])
             segmax_runs.append(M[:, o:o + r + 1].max(axis=1))
         m_run = jnp.stack(segmax_runs, axis=1)             # (N, 9)
-        m_slot = m_run @ seg.T                             # (N, R)
+        m_slot = jnp.take(m_run, slot_run, axis=1)         # (N, R) exact
         a = jnp.exp(jnp.clip(M - m_slot, -700.0, 700.0))
-        denom = (a @ seg) @ seg.T                          # (N, R) per-segment sums
+        seg_sum = jax.lax.dot_general(
+            a, seg, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)           # (N, 9)
+        denom = jnp.take(seg_sum, slot_run, axis=1)        # (N, R) exact
         gamma = a / denom
         gamma = jnp.where(slot_active[None, :], gamma, 0.0)
         return gamma, M
@@ -372,6 +381,11 @@ def _select_result(x, bics, gammas, pis, thetas, n_k):
     n, nf = x.shape
     bics = np.array(bics, np.float64)
     bics[n_k:] = np.nan
+    if np.isnan(bics[:n_k]).all():
+        # every K diverged (the reference retries and then crashes,
+        # src/ReadsCluster.py:247-252); degrade to a single cluster
+        return [1, x, np.zeros(n, np.int64), None,
+                np.ones((n, 1), np.float64), None, bics[:n_k]]
     sel = int(np.nanargmax(bics))
     k_sel = sel + 1
     if k_sel == 1 and n_k >= 2 and (bics[0] - bics[1] <= nf * np.log(n)):

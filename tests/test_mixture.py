@@ -97,3 +97,63 @@ def test_label_parity_vs_reference_emcluster():
             else:
                 perm[a] = b
         assert ok and len(set(perm.values())) == len(perm)
+
+
+def test_small_window_folded_em_no_nan():
+    """Windows with fewer than MAX_K+1 reads have inactive K runs whose
+    -1e30 sentinel must not poison the segment softmax (regression: the
+    one-hot segment matmuls ran at bf16-level precision and inf*0 NaN'd
+    every BIC for n <= 9)."""
+    from svscope_tpu.models.mixture import em_cluster_batch
+    rng = np.random.default_rng(123)
+    feats = []
+    for t in range(24):
+        n = int(rng.integers(4, 10))        # below MAX_K + 1
+        nf = int(rng.integers(12, 60))
+        k_true = int(rng.integers(1, 3))
+        protos = rng.integers(0, 4, (k_true, nf))
+        x = protos[rng.integers(0, k_true, n)]
+        flip = rng.random(x.shape) < 0.04
+        feats.append(np.where(flip, rng.integers(0, 5, x.shape), x)
+                     .astype(np.int8))
+    for res, x in zip(em_cluster_batch(feats), feats):
+        assert res[0] >= 1
+        assert not np.isnan(np.asarray(res[4], np.float64)).any()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SRC), reason="reference not mounted")
+def test_label_parity_soak_small_and_large():
+    """Partition-identical to the reference EMCluster over randomized
+    matrices spanning the small-n regime."""
+    import matplotlib
+    matplotlib.use("Agg")
+    sys.path.insert(0, REF_SRC)
+    try:
+        import ReadsCluster as ref_rc
+    except Exception as exc:
+        pytest.skip(f"reference ReadsCluster unimportable: {exc}")
+    finally:
+        sys.path.remove(REF_SRC)
+    from svscope_tpu.models.mixture import em_cluster_batch
+    rng = np.random.default_rng(7)
+    feats = []
+    for t in range(30):
+        n = int(rng.integers(5, 36))
+        nf = int(rng.integers(12, 80))
+        k_true = int(rng.integers(1, 4))
+        protos = rng.integers(0, 4, (k_true, nf))
+        x = protos[rng.integers(0, k_true, n)]
+        flip = rng.random(x.shape) < 0.04
+        feats.append(np.where(flip, rng.integers(0, 5, x.shape), x)
+                     .astype(np.int8))
+    ours = em_cluster_batch(feats)
+    for x, res in zip(feats, ours):
+        ref = ref_rc.EMCluster(np.asarray(x, np.int64), initselection=1)
+        labels_ref = np.asarray(ref[2])
+        labels_our = np.asarray(res[2])
+        assert ref[0] == res[0]
+        part_ref = {tuple(np.flatnonzero(labels_ref == l))
+                    for l in set(labels_ref.tolist())}
+        part_our = {tuple(np.flatnonzero(labels_our == l))
+                    for l in set(labels_our.tolist())}
+        assert part_ref == part_our
