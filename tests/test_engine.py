@@ -156,3 +156,24 @@ def test_background_stats_vectorized_parity(pair):
     # >64 windows routes through the vectorized path automatically
     via_bg = background_stats(t, wins)
     assert (via_bg.COV.fillna(-1) == fast.COV.fillna(-1)).all()
+
+
+def test_local_graph_matches_sequential_small_windows(tmp_path):
+    """Batch == sequential for windows in the <10-read regime, where the
+    folded EM has inactive K runs (regression for the NaN segment
+    softmax)."""
+    d = str(tmp_path / "small")
+    os.makedirs(d)
+    wins = [dict(start=s, end=s + 100, svtype="INS", svlen=60,
+                 som_reads=3, depth=dep)
+            for s, dep in ((2000, 4), (5000, 5), (8000, 7), (11000, 9))]
+    pair = make_test_pair(d, seed=21, ref_len=20_000, windows=wins,
+                          bg_reads_per_10kb=1)
+    ref_path, tumor, normal, recs, _ = pair
+    ref, readers, labels = _readers(pair)
+    out = run_local_graph(recs, ref_path, [tumor], [normal], ["S"], ["S"],
+                          str(tmp_path / "bs"), offset=50)
+    got = sorted(open(out).read().splitlines())
+    exp = sorted("\t".join(str(x) for x in decision(
+        data_maker(r, ref, readers, labels, offset=50))) for r in recs)
+    assert got == exp
