@@ -30,7 +30,7 @@ import numpy as np
 
 from ..io.bam import BamReader
 from ..io.fasta import FastaFile
-from ..models.mixture import em_cluster_batch
+from ..models.mixture import em_cluster_batch, em_cluster_batch_dispatch
 from ..ops.poa_batch import poa_msa_batch
 from ..utils import seq as sq
 from .datamaker import WindowData, data_maker, data_maker2
@@ -154,12 +154,19 @@ def _stage_a(wins: list[WindowData], t_label: str, hcutoff: int,
     return entries, ready
 
 
-def _finish_chunk(entries, ready, t_label, readcutoff, em_dtype, device_poa,
-                  threads):
-    """Phases B+C for one prepared chunk: batched EM then emit."""
+def _dispatch_em(ready, em_dtype):
+    """Phase B dispatch: host prep + async device EM for one chunk.
+    Returns a fetch() closure (no device_get yet)."""
     feats = [feat for (_, _, _, feat) in ready]
     kwargs = {} if em_dtype is None else {"dtype": em_dtype}
-    em_results = em_cluster_batch(feats, **kwargs) if feats else []
+    return em_cluster_batch_dispatch(feats, labels_only=True, **kwargs) \
+        if feats else (lambda: [])
+
+
+def _complete_chunk(entries, ready, em_fetch, t_label, readcutoff,
+                    device_poa, threads):
+    """Phase B fetch + phase C emission for one dispatched chunk."""
+    em_results = em_fetch()
     emitted = _emit_chunk(ready, em_results, t_label, readcutoff, device_poa,
                           threads)
     records = []
@@ -192,26 +199,37 @@ def process_window_batch(wins: list[WindowData], t_label: str = "tumor",
     if len(wins) <= PIPELINE_CHUNK:
         entries, ready = _stage_a(wins, t_label, hcutoff, scutoff,
                                   device_poa, threads)
-        return _finish_chunk(entries, ready, t_label, readcutoff, em_dtype,
-                             device_poa, threads)
+        fetch = _dispatch_em(ready, em_dtype)
+        return _complete_chunk(entries, ready, fetch, t_label, readcutoff,
+                               device_poa, threads)
     from concurrent.futures import ThreadPoolExecutor
     chunks = [wins[off:off + PIPELINE_CHUNK]
               for off in range(0, len(wins), PIPELINE_CHUNK)]
     records: list[list] = []
     with ThreadPoolExecutor(1) as prefetch:
         # one-chunk lookahead: keeps peak memory at O(PIPELINE_CHUNK)
-        # instead of buffering stage-A output for the whole stream
+        # instead of buffering stage-A output for the whole stream.
+        # Two overlaps run at once: the worker thread computes stage A of
+        # chunk k+1 (host POA, GIL-free in C++) while the main thread emits
+        # chunk k-1 (host consensus POA) UNDER the in-flight device EM of
+        # chunk k (dispatched before the emit, fetched after).
         pending = [prefetch.submit(_stage_a, c, t_label, hcutoff, scutoff,
                                    device_poa, threads)
                    for c in chunks[:2]]
+        inflight = None   # (entries, ready, em_fetch) of chunk k
         for ci in range(len(chunks)):
             entries, ready = pending.pop(0).result()
             if ci + 2 < len(chunks):
                 pending.append(prefetch.submit(
                     _stage_a, chunks[ci + 2], t_label, hcutoff, scutoff,
                     device_poa, threads))
-            records.extend(_finish_chunk(entries, ready, t_label, readcutoff,
-                                         em_dtype, device_poa, threads))
+            fetch = _dispatch_em(ready, em_dtype)
+            if inflight is not None:
+                records.extend(_complete_chunk(*inflight, t_label, readcutoff,
+                                               device_poa, threads))
+            inflight = (entries, ready, fetch)
+        records.extend(_complete_chunk(*inflight, t_label, readcutoff,
+                                       device_poa, threads))
     return records
 
 

@@ -331,10 +331,29 @@ def _em_folded_one(codes, hard, n_k, n_true, nf_true, zpn, key,
     return bics, jnp.stack(gam_runs, axis=0)
 
 
+def _em_folded_one_light(codes, hard, n_k, n_true, nf_true, zpn, key,
+                         nsteps: int, dtype):
+    """Labels-only variant: argmax the per-run gamma on device so the host
+    fetch is (9,) bics + (9, N) int8 labels instead of the full (9, N, 9)
+    float gamma — the gamma transfer dominated the EM fetch on the tunnel
+    (localGraph only consumes hard labels, src/DecisionMaker.py:143)."""
+    bics, gam_runs = _em_folded_one(codes, hard, n_k, n_true, nf_true, zpn,
+                                    key, nsteps, dtype)
+    return bics, jnp.argmax(gam_runs, axis=2).astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("nsteps", "dtype"))
 def _em_folded_batch(codes, hard, n_k, n_true, nf_true, zpn, keys,
                      nsteps: int = NSTEP, dtype=jnp.float32):
     return jax.vmap(_em_folded_one,
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+        codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "dtype"))
+def _em_folded_batch_light(codes, hard, n_k, n_true, nf_true, zpn, keys,
+                           nsteps: int = NSTEP, dtype=jnp.float32):
+    return jax.vmap(_em_folded_one_light,
                     in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
         codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
 
@@ -397,14 +416,14 @@ def _select_result(x, bics, gammas, pis, thetas, n_k):
     return [k_sel, x, labels, theta, gamma, pi, bics[:n_k]]
 
 
-def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
-                     seed: int = 2023, dtype=jnp.float32, nsteps: int = NSTEP):
-    """Batched EMCluster over many windows.
-
-    Windows are grouped into (reads, features) shape buckets; each bucket is
-    one vmapped device call over (window, K, EM-scan) — the TPU throughput
-    path for localGraph.  Per-window results are identical to em_cluster.
-    """
+def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
+                              seed: int = 2023, dtype=jnp.float32,
+                              nsteps: int = NSTEP, labels_only: bool = False):
+    """Async half of em_cluster_batch: host prep + device dispatch for every
+    shape bucket, returning a fetch() closure that blocks on the single
+    batched device_get and finishes selection.  Lets the caller overlap the
+    device EM with host work (localGraph overlaps the previous chunk's
+    consensus emission)."""
     results: list = [None] * len(feats)
     groups: dict[tuple[int, int], list[int]] = {}
     for i, x in enumerate(feats):
@@ -418,6 +437,7 @@ def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
     for key, idxs in groups.items():
         for off in range(0, len(idxs), MAX_BATCH):
             chunks.append((key, idxs[off:off + MAX_BATCH]))
+    pending: list = []
     for (n_pad, nf_pad), idxs in chunks:
         b_pad = _bucket(len(idxs), ladder=BATCH_LADDER)
         codes = np.full((b_pad, n_pad, nf_pad), PAD_CODE, np.int8)
@@ -466,16 +486,59 @@ def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
         # per-window key fixed by seed (deterministic and independent of
         # batch composition; RNG is only consumed on degenerate re-inits)
         keys = jnp.broadcast_to(base_key, (b_pad,) + base_key.shape)
-        bics_b, gammas_b = _em_folded_batch(
+        kernel = _em_folded_batch_light if labels_only else _em_folded_batch
+        bics_b, gammas_b = kernel(
             jnp.asarray(codes), jnp.asarray(hard_b), jnp.asarray(nks),
             jnp.asarray(ns), jnp.asarray(nfs),
             jnp.asarray(zps, dtype=dtype), keys, nsteps, dtype)
+        pending.append((idxs, nks, bics_b, gammas_b))
+
+    def fetch():
         # one batched fetch (each separate np.array() is a tunnel round trip)
-        bics_b, gammas_b = jax.device_get((bics_b, gammas_b))
-        for bi, i in enumerate(idxs):
-            results[i] = _select_result(np.asarray(feats[i]), bics_b[bi],
-                                        gammas_b[bi], None, None, int(nks[bi]))
-    return results
+        fetched = jax.device_get([(b, g) for _, _, b, g in pending])
+        for (idxs, nks, _, _), (bics_b, gammas_b) in zip(pending, fetched):
+            for bi, i in enumerate(idxs):
+                if labels_only:
+                    results[i] = _select_result_labels(
+                        np.asarray(feats[i]), bics_b[bi], gammas_b[bi],
+                        int(nks[bi]))
+                else:
+                    results[i] = _select_result(
+                        np.asarray(feats[i]), bics_b[bi], gammas_b[bi],
+                        None, None, int(nks[bi]))
+        return results
+
+    return fetch
+
+
+def _select_result_labels(x, bics, labels_all, n_k):
+    """_select_result over device-computed hard labels (labels_only path).
+    Same BIC argmax + K=1->2 tie-break; gamma/theta/pi omitted (the
+    localGraph consumer only reads K, labels and bics)."""
+    n, nf = x.shape
+    bics = np.array(bics, np.float64)
+    bics[n_k:] = np.nan
+    if np.isnan(bics[:n_k]).all():
+        return [1, x, np.zeros(n, np.int64), None,
+                np.ones((n, 1), np.float64), None, bics[:n_k]]
+    sel = int(np.nanargmax(bics))
+    k_sel = sel + 1
+    if k_sel == 1 and n_k >= 2 and (bics[0] - bics[1] <= nf * np.log(n)):
+        sel, k_sel = 1, 2
+    labels = np.asarray(labels_all[sel][:n], np.int64)
+    return [k_sel, x, labels, None, None, None, bics[:n_k]]
+
+
+def em_cluster_batch(feats: list[np.ndarray], max_c: int = MAX_K,
+                     seed: int = 2023, dtype=jnp.float32, nsteps: int = NSTEP):
+    """Batched EMCluster over many windows.
+
+    Windows are grouped into (reads, features) shape buckets; each bucket is
+    one vmapped device call over (window, K, EM-scan) — the TPU throughput
+    path for localGraph.  Per-window results are identical to em_cluster.
+    """
+    return em_cluster_batch_dispatch(feats, max_c=max_c, seed=seed,
+                                     dtype=dtype, nsteps=nsteps)()
 
 
 def em_cluster(seqdatamx: np.ndarray, max_c: int = MAX_K, seed: int = 2023,

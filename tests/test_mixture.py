@@ -157,3 +157,29 @@ def test_label_parity_soak_small_and_large():
         part_our = {tuple(np.flatnonzero(labels_our == l))
                     for l in set(labels_our.tolist())}
         assert part_ref == part_our
+
+
+def test_labels_only_dispatch_matches_full_path():
+    """The localGraph labels_only fetch (device argmax, int8 transfer) must
+    select the same K and hard labels as the full-gamma path."""
+    from svscope_tpu.models.mixture import (em_cluster_batch,
+                                            em_cluster_batch_dispatch)
+    rng = np.random.default_rng(11)
+    feats = []
+    for t in range(20):
+        n = int(rng.integers(4, 40))
+        nf = int(rng.integers(10, 70))
+        k_true = int(rng.integers(1, 4))
+        protos = rng.integers(0, 4, (k_true, nf))
+        x = protos[rng.integers(0, k_true, n)]
+        flip = rng.random(x.shape) < 0.05
+        feats.append(np.where(flip, rng.integers(0, 5, x.shape), x)
+                     .astype(np.int8))
+    full = em_cluster_batch(feats)
+    light = em_cluster_batch_dispatch(feats, labels_only=True)()
+    for f, l in zip(full, light):
+        assert f[0] == l[0]
+        # both paths argmax the same device gamma -> labels are identical
+        assert np.array_equal(f[2], l[2])
+        np.testing.assert_allclose(f[6], l[6], rtol=0, atol=0,
+                                   equal_nan=True)
