@@ -35,6 +35,15 @@ from .nw import MATCH, MISMATCH, GAP
 NEG = jnp.int32(-(2 ** 29))
 
 
+def _pad_batch(n: int, ladder=(8, 32, 128, 512, 2048)) -> int:
+    """Batch-axis shape bucket: keeps the jit cache small when pair counts
+    vary call to call (every distinct B is otherwise a recompile)."""
+    for b in ladder:
+        if n <= b:
+            return b
+    return n
+
+
 def _row_scan(a_codes, b_codes, la, lb, l_max: int, match: int = MATCH,
               mismatch: int = MISMATCH, gap: int = GAP):
     """Stats for one pair; a (l_max,), b (l_max,) uint8; la/lb true lens."""
@@ -115,7 +124,7 @@ def edit_distance_batch(pairs: list[tuple[str, str]],
     import jax
     pending = []
     for lbk, idxs in groups.items():
-        B = len(idxs)
+        B = _pad_batch(len(idxs))
         ac = np.zeros((B, lbk), np.uint8)
         bc = np.zeros((B, lbk), np.uint8)
         la = np.zeros(B, np.int32)
@@ -170,7 +179,7 @@ def misscore_batch(pairs: list[tuple[str, str]], l_buckets=(128, 256, 512,
     import jax
     pending = []
     for lbk, idxs in groups.items():
-        B = len(idxs)
+        B = _pad_batch(len(idxs))
         ac = np.zeros((B, lbk), np.uint8)
         bc = np.zeros((B, lbk), np.uint8)
         la = np.zeros(B, np.int32)
