@@ -44,12 +44,18 @@ def _bucket(x, ladder):
 
 
 def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
-                  threads: int | None = None):
+                  threads: int | None = None, oversize_mesh=None,
+                  oversize_axis: str = "sp"):
     """spoa-equivalent poa(seqs, 1) over many windows.
 
     use_device: False = host C++ engine (default); True/'xla' = batched XLA
     aligner rounds; 'pallas' = the hand-written Pallas wavefront kernel
     (ops/poa_pallas) for the per-round alignment.
+
+    oversize_mesh: optional jax Mesh — windows exceeding the largest
+    (nodes, length) bucket align through the column-sharded wavefront
+    (ops/poa_sharded) over mesh[oversize_axis] instead of falling back to
+    the host DP (giant-tandem-repeat path).
 
     Returns [(consensus, msa_rows)] per window."""
     if not use_device:
@@ -74,11 +80,28 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
                 continue
             items.append((w, seq))
         if items:
-            _device_round(graphs, items, host_only, engine)
+            _device_round(graphs, items, host_only, engine,
+                          oversize_mesh, oversize_axis)
     return [(g.consensus(), g.msa()) for g in graphs]
 
 
-def _device_round(graphs, items, host_only, engine: str = "xla"):
+def _oversize_sharded(g, seq: str, mesh, axis: str) -> bool:
+    """Align one over-bucket (graph, read) via the sharded wavefront and
+    fuse; returns False if the graph can't be packed (in-degree > 8)."""
+    from .poa_sharded import align_sharded_packed
+    n = g.n_nodes()
+    n_max = max(N_LADDER[-1], 1 << (max(n, 2) - 1).bit_length())
+    packed = g.pack(n_max, pdev.MAX_PREDS)
+    if packed is None:
+        return False
+    c, p, s, nn, nor = packed
+    aln, _score = align_sharded_packed(c, p, s, nn, nor, seq, mesh, axis)
+    g.fuse(aln, seq)
+    return True
+
+
+def _device_round(graphs, items, host_only, engine: str = "xla",
+                  oversize_mesh=None, oversize_axis: str = "sp"):
     """One round: bucket (window, seq) pairs, device-align, C++ fuse."""
     buckets: dict[tuple[int, int], list[tuple[int, str, tuple]]] = {}
     for w, seq in items:
@@ -89,6 +112,9 @@ def _device_round(graphs, items, host_only, engine: str = "xla"):
         if nb is not None and lb is not None:
             packed = g.pack(nb, pdev.MAX_PREDS)
         if packed is None:
+            if oversize_mesh is not None and _oversize_sharded(
+                    g, seq, oversize_mesh, oversize_axis):
+                continue
             host_only[w] = True
             g.add_sequence(seq)
             continue

@@ -1,0 +1,125 @@
+"""Column-sharded wavefront POA vs the host aligner (PoaGraph.align).
+
+Runs on the conftest 8-virtual-device CPU mesh; alignment pairs and the
+full MSA must be identical to the single-device path, including tie-break
+order.  This is the oversized-window ("long context") path of SURVEY.md §5.
+"""
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from svscope_tpu.ops.poa import PoaGraph, poa
+from svscope_tpu.ops.poa_sharded import align_sharded, poa_msa_sharded
+
+
+def _mesh(n=None):
+    devs = np.array(jax.devices()[: (n or len(jax.devices()))])
+    return Mesh(devs, ("sp",))
+
+
+def _noisy_reads(rng, ref, n_reads, n_edits, ins=None):
+    reads = []
+    for r in range(n_reads):
+        b = list(ref if ins is None or r % 2 else
+                 ref[: len(ref) // 2] + ins + ref[len(ref) // 2:])
+        for _ in range(n_edits):
+            p = int(rng.integers(1, len(b) - 1))
+            op = int(rng.integers(0, 3))
+            if op == 0:
+                b[p] = str(rng.choice(list("ACGT")))
+            elif op == 1:
+                b.insert(p, str(rng.choice(list("ACGT"))))
+            else:
+                b.pop(p)
+        reads.append("".join(b))
+    return reads
+
+
+@pytest.mark.parametrize("seed,ref_len", [(0, 120), (1, 300), (2, 75)])
+def test_align_sharded_matches_host(seed, ref_len):
+    rng = np.random.default_rng(seed)
+    ref = "".join(rng.choice(list("ACGT"), ref_len))
+    reads = _noisy_reads(rng, ref, 6, 5,
+                         ins="".join(rng.choice(list("ACGT"), 40)))
+    mesh = _mesh()
+    g = PoaGraph()
+    # build the graph with a few sequences via the host path, then align
+    # each subsequent read both ways and compare pair-for-pair
+    poa_ref = poa([ref] + reads[:3], 1)  # warms nothing; host oracle below
+    del poa_ref
+    from svscope_tpu.ops.poa import _fused_path
+    first = True
+    for s in [ref] + reads[:3]:
+        if first:
+            prev = -1
+            for ch in s:
+                cur = g._add_node(ch)
+                if prev >= 0:
+                    g._add_edge(prev, cur)
+                prev = cur
+            g.seq_begin.append(0)
+            first = False
+        else:
+            _fused_path(g, g.align(s), s)
+    for s in reads[3:]:
+        host = g.align(s)
+        dev, _score = align_sharded(g, s, mesh)
+        assert dev == host
+
+
+def test_poa_msa_sharded_matches_host_msa():
+    rng = np.random.default_rng(7)
+    ref = "".join(rng.choice(list("ACGT"), 200))
+    reads = _noisy_reads(rng, ref, 8, 4,
+                         ins="".join(rng.choice(list("ACGT"), 30)))
+    seqs = [ref] + reads
+    cons_host, msa_host = poa(seqs, 1)
+    cons_dev, msa_dev = poa_msa_sharded(seqs, _mesh())
+    assert msa_dev == msa_host
+    assert cons_dev == cons_host
+
+
+def test_align_sharded_small_mesh_and_short_read():
+    rng = np.random.default_rng(3)
+    ref = "".join(rng.choice(list("ACGT"), 64))
+    g = PoaGraph()
+    prev = -1
+    for ch in ref:
+        cur = g._add_node(ch)
+        if prev >= 0:
+            g._add_edge(prev, cur)
+        prev = cur
+    g.seq_begin.append(0)
+    short = ref[5:20]
+    mesh = _mesh(2)
+    dev, score = align_sharded(g, short, mesh)
+    host = g.align(short)
+    assert dev == host
+
+
+def test_device_batch_routes_oversize_through_sharded(monkeypatch):
+    """Windows beyond the device buckets align via the sharded wavefront
+    (not the host fallback) when an oversize mesh is given, and the MSA is
+    identical to the host engine's."""
+    from svscope_tpu.ops import poa_batch as pb
+    rng = np.random.default_rng(9)
+    ref = "".join(rng.choice(list("ACGT"), 150))
+    reads = _noisy_reads(rng, ref, 5, 3)
+    seqs = [ref] + reads
+    host = pb.poa_msa_batch([seqs], use_device=False)
+    # shrink the ladders so this window is "oversized" for the batch path
+    monkeypatch.setattr(pb, "N_LADDER", (64,))
+    monkeypatch.setattr(pb, "L_LADDER", (64,))
+    calls = {"n": 0}
+    real = pb._oversize_sharded
+
+    def counting(g, seq, mesh, axis):
+        calls["n"] += 1
+        return real(g, seq, mesh, axis)
+
+    monkeypatch.setattr(pb, "_oversize_sharded", counting)
+    dev = pb.poa_msa_batch([seqs], use_device=True, oversize_mesh=_mesh())
+    assert calls["n"] == len(reads)          # every round went sharded
+    assert dev[0][1] == host[0][1]
+    assert dev[0][0] == host[0][0]
