@@ -133,8 +133,18 @@ def cmd_data_prepare(args):
     log.info("DataPrepare: all processes finished")
 
 
+def _setup_oversize(args):
+    if getattr(args, "oversize_sharded", False):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        from .ops.poa_batch import set_default_oversize_mesh
+        set_default_oversize_mesh(Mesh(np.array(jax.devices()), ("sp",)))
+
+
 def cmd_local_graph(args):
     from .engine.localgraph import run_local_graph
+    _setup_oversize(args)
     records = [l for l in open(args.windowBed).read().splitlines()
                if l.strip() and not l.startswith("chrom\t")]
     return run_local_graph(
@@ -149,6 +159,7 @@ def cmd_local_graph(args):
 def cmd_local_graph_npz(args):
     from .engine.localgraph import raw_bed_name
     from .engine.npz import load_window_data
+    _setup_oversize(args)
     t_ids = args.TSampleID.split(",")
     n_ids = args.NSampleID.split(",")
     out_path = os.path.join(args.savedir, raw_bed_name(t_ids, n_ids))
@@ -254,6 +265,11 @@ def _common_bam_args(p, window_bed=True):
                         "host C++ engine; 'xla' = scan aligner (default when "
                         "given bare), 'pallas' = hand-written wavefront "
                         "kernel")
+    p.add_argument("--oversize-sharded", action="store_true",
+                   help="align windows beyond the 2048-node/2048 bp device "
+                        "buckets (giant tandem repeats) via the sequence-"
+                        "sharded wavefront over all available devices "
+                        "instead of the single-host DP")
     p.add_argument("-T", "--Tumorbam", required=True)
     p.add_argument("-N", "--Normalbam", required=True)
     p.add_argument("-t", "--TSampleID", required=True)

@@ -35,6 +35,15 @@ B_LADDER = (8, 32, 128, 256)
 MAX_BATCH = 256
 HOST_THREADS = 8
 
+_DEFAULT_OVERSIZE = (None, "sp")   # (mesh, axis) fallback when not passed
+
+
+def set_default_oversize_mesh(mesh, axis: str = "sp") -> None:
+    """Route over-bucket windows of every poa_msa_batch(use_device=...) call
+    through the sharded wavefront by default (CLI --oversize-sharded)."""
+    global _DEFAULT_OVERSIZE
+    _DEFAULT_OVERSIZE = (mesh, axis)
+
 
 def _bucket(x, ladder):
     for b in ladder:
@@ -58,12 +67,29 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
     the host DP (giant-tandem-repeat path).
 
     Returns [(consensus, msa_rows)] per window."""
+    if oversize_mesh is None:
+        oversize_mesh, oversize_axis = _DEFAULT_OVERSIZE
     if not use_device:
-        if len(seq_lists) > 1:
+        # giant windows go to the wavefront even in host mode (the host DP
+        # handles any size, but past the device buckets the sharded path
+        # is the scaling story — opt-in via oversize_mesh)
+        big = set()
+        if oversize_mesh is not None:
+            big = {i for i, s in enumerate(seq_lists)
+                   if s and max(map(len, s)) > L_LADDER[-1]}
+        small_idx = [i for i in range(len(seq_lists)) if i not in big]
+        out: list = [None] * len(seq_lists)
+        small = [seq_lists[i] for i in small_idx]
+        if len(small) > 1:
             from ..native.poa import poa_msa_batch_native
-            return poa_msa_batch_native(seq_lists,
-                                        threads=threads or HOST_THREADS)
-        return [poa_native(s) for s in seq_lists]
+            res = poa_msa_batch_native(small, threads=threads or HOST_THREADS)
+        else:
+            res = [poa_native(s) for s in small]
+        for i, r in zip(small_idx, res):
+            out[i] = r
+        for i in sorted(big):
+            out[i] = _oversize_msa(seq_lists[i], oversize_mesh, oversize_axis)
+        return out
     engine = use_device if isinstance(use_device, str) else "xla"
     graphs = [NativePoaGraph() for _ in seq_lists]
     host_only = [False] * len(seq_lists)
@@ -83,6 +109,18 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
             _device_round(graphs, items, host_only, engine,
                           oversize_mesh, oversize_axis)
     return [(g.consensus(), g.msa()) for g in graphs]
+
+
+def _oversize_msa(seqs: list[str], mesh, axis: str):
+    """One giant window's full MSA with every alignment round on the
+    sharded wavefront (host C++ graph fusion between rounds)."""
+    g = NativePoaGraph()
+    for seq in seqs:
+        if len(seq) == 0 or g.n_nodes() == 0:
+            g.add_sequence(seq)
+        elif not _oversize_sharded(g, seq, mesh, axis):
+            g.add_sequence(seq)          # in-degree > 8: host DP round
+    return g.consensus(), g.msa()
 
 
 def _oversize_sharded(g, seq: str, mesh, axis: str) -> bool:

@@ -123,3 +123,33 @@ def test_device_batch_routes_oversize_through_sharded(monkeypatch):
     assert calls["n"] == len(reads)          # every round went sharded
     assert dev[0][1] == host[0][1]
     assert dev[0][0] == host[0][0]
+
+
+def test_host_mode_routes_giant_windows_to_wavefront(monkeypatch):
+    """poa_msa_batch in HOST mode sends windows whose reads exceed the
+    device buckets through the sharded wavefront when a default oversize
+    mesh is configured (CLI --oversize-sharded)."""
+    from svscope_tpu.ops import poa_batch as pb
+    rng = np.random.default_rng(13)
+    ref = "".join(rng.choice(list("ACGT"), 180))
+    giant = [ref] + _noisy_reads(rng, ref, 4, 3)
+    small_ref = "".join(rng.choice(list("ACGT"), 60))
+    small = [small_ref] + _noisy_reads(rng, small_ref, 3, 2)
+    expected = pb.poa_msa_batch([giant, small], use_device=False)
+    monkeypatch.setattr(pb, "L_LADDER", (64,))   # 'giant' now over-bucket
+    calls = {"n": 0}
+    real = pb._oversize_sharded
+
+    def counting(g, seq, mesh, axis):
+        calls["n"] += 1
+        return real(g, seq, mesh, axis)
+
+    monkeypatch.setattr(pb, "_oversize_sharded", counting)
+    pb.set_default_oversize_mesh(_mesh())
+    try:
+        out = pb.poa_msa_batch([giant, small], use_device=False)
+    finally:
+        pb.set_default_oversize_mesh(None)
+    assert calls["n"] == len(giant) - 1
+    assert out[0] == expected[0]
+    assert out[1] == expected[1]
