@@ -98,7 +98,13 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
     h_s[0] = h0
 
     def preds_row(w, r):
-        """(1, P) predecessor ranks of node rank r in window w."""
+        """(1, P) predecessor ranks of node rank r in window w.
+
+        Host-side packing pads empty slots with slot 0's rank (see
+        align_batch_pallas), so every slot is a valid gather — branch rows
+        run 8 unconditional gathers instead of per-window lax.conds, and
+        duplicate-slot matches are harmless because the direction loop
+        processes slot 0 last (lowest slot always wins ties)."""
         return preds_ref[w, r, :].reshape(1, MAX_PREDS)
 
     def pred_h(pv, p, w):
@@ -106,13 +112,7 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         pr = _exs(pv, p)
         prc = jnp.maximum(pr, -1) + 1
         v = h_s[pl.ds(prc, 1), pl.ds(w, 1), :].reshape(1, l1)
-        return jnp.where((pr >= 0) | (p == 0), v, NEG), pr
-
-    def is_chain(pv, r):
-        """Single predecessor == previous rank (or rank-0 root)."""
-        pr0 = _exs(pv, 0)
-        pr1 = _exs(pv, 1)
-        return (pr1 < 0) & ((pr0 == r - 1) | ((r == 0) & (pr0 == -1)))
+        return v, pr
 
     def row(i, carry):
         hprev, bval, brank = carry
@@ -130,18 +130,11 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
             rows = []
             for w in range(W):
                 pv = preds_row(w, r)
-
-                def cw(_):
-                    return hprev[w:w + 1, :]
-
-                def fw(_):
-                    acc = jnp.full((1, l1), NEG, jnp.int32)
-                    for p in range(MAX_PREDS):
-                        v, _pr = pred_h(pv, p, w)
-                        acc = jnp.maximum(acc, v)
-                    return acc
-
-                rows.append(jax.lax.cond(is_chain(pv, r), cw, fw, 0))
+                acc, _pr = pred_h(pv, 0, w)
+                for p in range(1, MAX_PREDS):
+                    v, _pr = pred_h(pv, p, w)
+                    acc = jnp.maximum(acc, v)
+                rows.append(acc)
             return jnp.concatenate(rows, axis=0)
 
         mp = jax.lax.cond(chain_ref[0, 0, r] > 0, mp_chain, mp_exc, 0)
@@ -172,30 +165,20 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                 subw = sub[w:w + 1, :]
                 lbw = lb_ref[w, 0]
                 jv = (j1 >= 1) & (j1 <= lbw)
-
-                def cw(_):
-                    hp = hprev[w:w + 1, :]
-                    dok = (hw == _roll_right(hp, 1, NEG) + subw) & jv
-                    uok = hw == hp + GAP
-                    d16 = jnp.full((1, l1), 16, jnp.int32)
-                    return jnp.where(dok, 0, jnp.where(uok, 8, d16))
-
-                def fw(_):
-                    # one load per pred: first-matching diag and up slots
-                    # tracked separately, then merged by priority
-                    d_diag = jnp.full((1, l1), -1, jnp.int32)
-                    d_up = jnp.full((1, l1), -1, jnp.int32)
-                    for p in reversed(range(MAX_PREDS)):
-                        v, pr = pred_h(pv, p, w)
-                        ok = (pr >= 0) | (p == 0)
-                        uok = ok & (hw == v + GAP)
-                        dok = ok & (hw == _roll_right(v, 1, NEG) + subw) & jv
-                        d_up = jnp.where(uok, 8 + p, d_up)
-                        d_diag = jnp.where(dok, p, d_diag)
-                    return jnp.where(d_diag >= 0, d_diag,
-                                     jnp.where(d_up >= 0, d_up, 16))
-
-                rows.append(jax.lax.cond(is_chain(pv, r), cw, fw, 0))
+                # one load per pred slot: first-matching diag and up slots
+                # tracked separately, then merged by priority.  Pad slots
+                # duplicate slot 0 (host packing), and slot 0 is processed
+                # last, so duplicate matches collapse to the lowest slot.
+                d_diag = jnp.full((1, l1), -1, jnp.int32)
+                d_up = jnp.full((1, l1), -1, jnp.int32)
+                for p in reversed(range(MAX_PREDS)):
+                    v, _pr = pred_h(pv, p, w)
+                    uok = hw == v + GAP
+                    dok = (hw == _roll_right(v, 1, NEG) + subw) & jv
+                    d_up = jnp.where(uok, 8 + p, d_up)
+                    d_diag = jnp.where(dok, p, d_diag)
+                rows.append(jnp.where(d_diag >= 0, d_diag,
+                                      jnp.where(d_up >= 0, d_up, 16)))
             return jnp.concatenate(rows, axis=0)
 
         dirrow = jax.lax.cond(chain_ref[0, 0, r] > 0, dir_chain, dir_exc, 0)
@@ -356,6 +339,9 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
     chainw = chain_flags(preds, nn)
     chain_all = (chainw.reshape(Bp // W, W, N).all(axis=1)
                  .astype(np.int32).reshape(Bp // W, 1, N))
+    # after chain detection: pad empty slots with slot 0's rank so branch
+    # rows gather unconditionally (duplicate matches collapse to slot 0)
+    preds = np.where(preds < 0, preds[:, :, :1], preds)
     an, asp, ke, sc = _align_batch_padded(
         jnp.asarray(chars.astype(np.int32)),
         jnp.asarray(np.asarray(is_sink).astype(np.int32)),

@@ -153,3 +153,31 @@ def test_host_mode_routes_giant_windows_to_wavefront(monkeypatch):
     assert calls["n"] == len(giant) - 1
     assert out[0] == expected[0]
     assert out[1] == expected[1]
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_align_sharded_block_boundary_stress(n_dev):
+    """Highly divergent reads (dense bubbles, multi-pred nodes) with read
+    lengths chosen so seq_len lands on/next to block edges; every mesh
+    width must reproduce the host alignment exactly."""
+    rng = np.random.default_rng(20 + n_dev)
+    ref = "".join(rng.choice(list("ACGT"), 90))
+    g = PoaGraph()
+    from svscope_tpu.ops.poa import _fused_path
+    prev = -1
+    for ch in ref:
+        cur = g._add_node(ch)
+        if prev >= 0:
+            g._add_edge(prev, cur)
+        prev = cur
+    g.seq_begin.append(0)
+    # very noisy reads -> branch-heavy graph with long-range predecessors
+    for s in _noisy_reads(rng, ref, 6, 25):
+        _fused_path(g, g.align(s), s)
+    mesh = _mesh(n_dev)
+    # block = ceil((l_bucket+1)/D); probe lengths around multiples of it
+    for L in (63, 64, 65, 89, 90, 107, 128):
+        read = "".join(rng.choice(list("ACGT"), 20)) + ref[:max(L - 20, 5)]
+        host = g.align(read)
+        dev, _ = align_sharded(g, read, mesh)
+        assert dev == host, (n_dev, L)
