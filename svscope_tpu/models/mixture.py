@@ -44,7 +44,14 @@ PAD_CODE = 5       # feature pad: one-hot(5, num_classes=5) == zeros
 EPS = 1e-10
 NEG_BIG = -1e30
 MAX_BATCH = 256                  # windows per device call
-BATCH_LADDER = (8, 32, 128, 256)  # batch-axis shape buckets (compile cache)
+# Shape buckets are deliberately COARSE: every distinct (batch, reads,
+# features) triple is a separate jit entry costing ~1.3 s of client-side
+# tracing/lowering per process (measured; the chromosome-scale harness
+# spent more time tracing fine-grained buckets than computing).  Padding
+# waste is device compute — cheap next to a single retrace.
+BATCH_LADDER = (32, 256)          # batch-axis shape buckets
+SHAPE_LADDER = (16, 64, 256, 1024, 4096)   # feature-axis buckets
+READS_LADDER = (16, 64, 512)      # read-axis buckets (selection caps at 500)
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +373,7 @@ def zero_param_count(seqdatamx: np.ndarray) -> int:
     return int((counts == 0).sum())
 
 
-def _bucket(x: int, ladder=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)):
+def _bucket(x: int, ladder=SHAPE_LADDER):
     for b in ladder:
         if x <= b:
             return b
@@ -427,7 +434,8 @@ def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
     results: list = [None] * len(feats)
     groups: dict[tuple[int, int], list[int]] = {}
     for i, x in enumerate(feats):
-        key = (_bucket(x.shape[0]), _bucket(x.shape[1]))
+        key = (_bucket(x.shape[0], READS_LADDER),
+               _bucket(x.shape[1]))
         groups.setdefault(key, []).append(i)
     base_key = jax.random.PRNGKey(seed)
     cast = lambda a: jnp.asarray(np.stack(a), dtype=dtype)
@@ -555,7 +563,7 @@ def em_cluster(seqdatamx: np.ndarray, max_c: int = MAX_K, seed: int = 2023,
     """
     x = np.asarray(seqdatamx)
     n, nf = x.shape
-    n_pad = _bucket(n) if pad_shapes else n
+    n_pad = _bucket(n, READS_LADDER) if pad_shapes else n
     nf_pad = _bucket(nf) if pad_shapes else nf
     x_oh, read_mask, gamma0_all, kmask_all, n_k, zpn = _prepare_window(
         x, max_c, n_pad, nf_pad)
