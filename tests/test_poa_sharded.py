@@ -155,6 +155,54 @@ def test_host_mode_routes_giant_windows_to_wavefront(monkeypatch):
     assert out[1] == expected[1]
 
 
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_banded_traceback_matches_full(n_dev):
+    """The dirless path (H-resident, on-demand direction blocks) must walk
+    the exact same alignment as the full direction-plane fetch, on a
+    branch-heavy graph with tiny blocks to force many block crossings."""
+    rng = np.random.default_rng(31 + n_dev)
+    ref = "".join(rng.choice(list("ACGT"), 130))
+    g = PoaGraph()
+    from svscope_tpu.ops.poa import _fused_path
+    prev = -1
+    for ch in ref:
+        cur = g._add_node(ch)
+        if prev >= 0:
+            g._add_edge(prev, cur)
+        prev = cur
+    g.seq_begin.append(0)
+    for s in _noisy_reads(rng, ref, 6, 20,
+                          ins="".join(rng.choice(list("ACGT"), 25))):
+        _fused_path(g, g.align(s), s)
+    mesh = _mesh(n_dev)
+    for L in (64, 97, 130):
+        read = "".join(rng.choice(list("ACGT"), 15)) + ref[:max(L - 15, 5)]
+        host = g.align(read)
+        for kb in ((8, 8), (16, 32), (512, 512)):
+            dev, score = align_sharded(g, read, mesh, traceback="banded",
+                                       tb_block=kb)
+            assert dev == host, (n_dev, L, kb)
+        full, fscore = align_sharded(g, read, mesh, traceback="full")
+        assert full == host and fscore == score
+
+
+def test_banded_msa_matches_host(monkeypatch):
+    """Whole-window MSA with every round forced through the banded
+    (dirless) traceback equals the host engine's MSA."""
+    import svscope_tpu.ops.poa_sharded as ps
+    rng = np.random.default_rng(41)
+    ref = "".join(rng.choice(list("ACGT"), 220))
+    seqs = [ref] + _noisy_reads(rng, ref, 7, 5,
+                                ins="".join(rng.choice(list("ACGT"), 35)))
+    cons_host, msa_host = poa(seqs, 1)
+    monkeypatch.setattr(ps, "FULL_DIRS_CELL_LIMIT", 0)   # 'auto' -> banded
+    monkeypatch.setattr(ps, "TB_BLOCK_R", 64)
+    monkeypatch.setattr(ps, "TB_BLOCK_C", 64)
+    cons_dev, msa_dev = poa_msa_sharded(seqs, _mesh())
+    assert msa_dev == msa_host
+    assert cons_dev == cons_host
+
+
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_align_sharded_block_boundary_stress(n_dev):
     """Highly divergent reads (dense bubbles, multi-pred nodes) with read
