@@ -83,11 +83,12 @@ class Forest:
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, np.float64)
-        probs = _forest_proba(jnp.asarray(self.left), jnp.asarray(self.right),
-                              jnp.asarray(self.feature),
-                              jnp.asarray(self.threshold),
-                              jnp.asarray(self.value), jnp.asarray(X),
-                              self.max_depth)
+        if getattr(self, "_dev", None) is None:
+            # one batched transfer, cached: per-array puts each pay a
+            # device round trip
+            self._dev = jax.device_put((self.left, self.right, self.feature,
+                                        self.threshold, self.value))
+        probs = _forest_proba(*self._dev, jnp.asarray(X), self.max_depth)
         return np.asarray(probs)
 
     def predict(self, X: np.ndarray) -> np.ndarray:

@@ -365,6 +365,17 @@ def _em_folded_batch_light(codes, hard, n_k, n_true, nf_true, zpn, keys,
         codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
 
 
+_KEY_CACHE: dict[int, np.ndarray] = {}
+
+
+def _host_prng_key(seed: int) -> np.ndarray:
+    """Host copy of jax.random.PRNGKey(seed) — building the key on device
+    and fetching it back costs two tunnel round trips per dispatch."""
+    if seed not in _KEY_CACHE:
+        _KEY_CACHE[seed] = np.asarray(jax.random.PRNGKey(seed))
+    return _KEY_CACHE[seed]
+
+
 def zero_param_count(seqdatamx: np.ndarray) -> int:
     """Number of (symbol, column) cells with zero count
     (src/ReadsCluster.py:225-234)."""
@@ -437,8 +448,7 @@ def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
         key = (_bucket(x.shape[0], READS_LADDER),
                _bucket(x.shape[1]))
         groups.setdefault(key, []).append(i)
-    base_key = jax.random.PRNGKey(seed)
-    cast = lambda a: jnp.asarray(np.stack(a), dtype=dtype)
+    base_key = _host_prng_key(seed)
     # fixed batch-axis buckets: one chunk = one compiled shape; pad chunks
     # by repeating the first window (results discarded)
     chunks = []
@@ -493,12 +503,15 @@ def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
             zps[len(idxs):] = zps[0]
         # per-window key fixed by seed (deterministic and independent of
         # batch composition; RNG is only consumed on degenerate re-inits)
-        keys = jnp.broadcast_to(base_key, (b_pad,) + base_key.shape)
+        keys = np.broadcast_to(base_key, (b_pad,) + base_key.shape)
         kernel = _em_folded_batch_light if labels_only else _em_folded_batch
-        bics_b, gammas_b = kernel(
-            jnp.asarray(codes), jnp.asarray(hard_b), jnp.asarray(nks),
-            jnp.asarray(ns), jnp.asarray(nfs),
-            jnp.asarray(zps, dtype=dtype), keys, nsteps, dtype)
+        # ONE batched host->device transfer: each separate jnp.asarray is
+        # its own round trip on the tunneled device (~30 ms apiece; 7
+        # arrays cost ~0.25 s per chunk on the localGraph critical path)
+        np_dtype = np.dtype(jnp.dtype(dtype))
+        dev = jax.device_put((codes, hard_b, nks, ns, nfs,
+                              zps.astype(np_dtype), keys))
+        bics_b, gammas_b = kernel(*dev, nsteps, dtype)
         pending.append((idxs, nks, bics_b, gammas_b))
 
     def fetch():

@@ -134,9 +134,8 @@ def edit_distance_batch(pairs: list[tuple[str, str]],
             ac[k, :len(a)] = np.frombuffer(a.encode(), np.uint8)
             bc[k, :len(b)] = np.frombuffer(b.encode(), np.uint8)
             la[k], lbn[k] = len(a), len(b)
-        s, _m, _al = nw_stats_batch(jnp.asarray(ac), jnp.asarray(bc),
-                                    jnp.asarray(la), jnp.asarray(lbn), lbk,
-                                    0, -1, -1)
+        dac, dbc, dla, dlb = jax.device_put((ac, bc, la, lbn))  # 1 transfer
+        s, _m, _al = nw_stats_batch(dac, dbc, dla, dlb, lbk, 0, -1, -1)
         pending.append((idxs, s))
     fetched = jax.device_get([s for _, s in pending])
     for (idxs, _), s in zip(pending, fetched):
@@ -189,8 +188,8 @@ def misscore_batch(pairs: list[tuple[str, str]], l_buckets=(128, 256, 512,
             ac[k, :len(a)] = np.frombuffer(a.encode(), np.uint8)
             bc[k, :len(b)] = np.frombuffer(b.encode(), np.uint8)
             la[k], lbn[k] = len(a), len(b)
-        _s, m, al = nw_stats_batch(jnp.asarray(ac), jnp.asarray(bc),
-                                   jnp.asarray(la), jnp.asarray(lbn), lbk)
+        dac, dbc, dla, dlb = jax.device_put((ac, bc, la, lbn))  # 1 transfer
+        _s, m, al = nw_stats_batch(dac, dbc, dla, dlb, lbk)
         pending.append((idxs, m, al))
     fetched = jax.device_get([(m, al) for _, m, al in pending])
     for (idxs, _, _), (m, al) in zip(pending, fetched):

@@ -342,10 +342,8 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
     # after chain detection: pad empty slots with slot 0's rank so branch
     # rows gather unconditionally (duplicate matches collapse to slot 0)
     preds = np.where(preds < 0, preds[:, :, :1], preds)
-    an, asp, ke, sc = _align_batch_padded(
-        jnp.asarray(chars.astype(np.int32)),
-        jnp.asarray(np.asarray(is_sink).astype(np.int32)),
-        jnp.asarray(preds), jnp.asarray(seqs_sh), jnp.asarray(lb),
-        jnp.asarray(nn), jnp.asarray(chain_all),
-        N, l_max, interpret)
+    dev = jax.device_put((chars.astype(np.int32),
+                          np.asarray(is_sink).astype(np.int32),
+                          preds, seqs_sh, lb, nn, chain_all))  # 1 transfer
+    an, asp, ke, sc = _align_batch_padded(*dev, N, l_max, interpret)
     return an[:B], asp[:B], ke[:B, 0], sc[:B, 0]
