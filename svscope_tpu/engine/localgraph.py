@@ -142,7 +142,7 @@ def _stage_a(wins: list[WindowData], t_label: str, hcutoff: int,
     ready = []
     for ei, (_cons, msa) in zip(pending, msa_out):
         win, _ = entries[ei]
-        enc = np.stack([sq.encode(r) for r in msa])
+        enc = sq.encode_rows(msa)
         flank_cols = call_margin(msa[0], win.flank_5, win.flank_3)
         keep_cols = np.setdiff1d(np.arange(enc.shape[1]), flank_cols)
         td_raw = enc[1:, keep_cols]

@@ -35,6 +35,18 @@ def encode(s: str) -> np.ndarray:
     return out
 
 
+def encode_rows(rows: list[str]) -> np.ndarray:
+    """Encode equal-length rows (an MSA) to an (n, L) int8 matrix in one
+    lookup — the per-row encode() loop showed up in the stage-A profile."""
+    n = len(rows)
+    b = np.frombuffer("".join(rows).encode(), dtype=np.uint8)
+    out = _ENC[b]
+    if (out < 0).any():
+        bad = chr(b[np.where(out < 0)[0][0]])
+        raise ValueError(f"non-ATCG- character {bad!r} in sequence")
+    return out.reshape(n, len(b) // max(n, 1))
+
+
 def decode(codes: np.ndarray, keep_gaps: bool = False) -> str:
     """Decode int codes to a string; gaps (4) dropped unless keep_gaps."""
     codes = np.asarray(codes)
