@@ -177,3 +177,27 @@ def test_local_graph_matches_sequential_small_windows(tmp_path):
     exp = sorted("\t".join(str(x) for x in decision(
         data_maker(r, ref, readers, labels, offset=50))) for r in recs)
     assert got == exp
+
+
+def test_local_graph_matches_sequential_envelope(tmp_path):
+    """Batch == sequential at the selection envelope: a ~500-read window
+    (the reference's span-read cap, src/WindowSelection_v8.py:614) and a
+    long-read window — exercises the top READS_LADDER/POA buckets."""
+    d = str(tmp_path / "env")
+    os.makedirs(d)
+    wins = [dict(start=2000, end=2150, svtype="INS", svlen=80,
+                 som_reads=36, depth=240),       # 480 spanning reads; the
+            # subclone must clear the 5% FindNonSameSite cutoff at N=482
+            dict(start=9000, end=9900, svtype="DEL", svlen=120,
+                 som_reads=6, depth=12)]         # ~1 kb window payloads
+    pair = make_test_pair(d, seed=33, ref_len=20_000, windows=wins,
+                          bg_reads_per_10kb=1)
+    ref_path, tumor, normal, recs, _ = pair
+    ref, readers, labels = _readers(pair)
+    out = run_local_graph(recs, ref_path, [tumor], [normal], ["S"], ["S"],
+                          str(tmp_path / "envb"), offset=50)
+    got = sorted(open(out).read().splitlines())
+    exp = sorted("\t".join(str(x) for x in decision(
+        data_maker(r, ref, readers, labels, offset=50))) for r in recs)
+    assert got == exp
+    assert sum("EMOutput" in g for g in got) == 2
