@@ -81,7 +81,8 @@ def _exw(col, w):
 
 def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                 chain_ref, an_ref, as_ref, ke_ref, sc_ref,
-                h_s, d_s, *, n_max: int, l_max: int, out_len: int):
+                h_s, d_s, *, n_max: int, l_max: int, out_len: int,
+                chain_only: bool):
     l1 = l_max + 1
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
     j1 = j[0:1]                                       # (1, l1)
@@ -122,66 +123,73 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         snk = jnp.sum(sinks * (jn == r).astype(jnp.int32), axis=1,
                       keepdims=True, dtype=jnp.int32)
         sub = jnp.where(seq == ch, MATCH, MISMATCH)   # (W, l1)
-
-        def mp_chain(_):
-            return hprev
-
-        def mp_exc(_):
-            rows = []
-            for w in range(W):
-                pv = preds_row(w, r)
-                acc, _pr = pred_h(pv, 0, w)
-                for p in range(1, MAX_PREDS):
-                    v, _pr = pred_h(pv, p, w)
-                    acc = jnp.maximum(acc, v)
-                rows.append(acc)
-            return jnp.concatenate(rows, axis=0)
-
-        mp = jax.lax.cond(chain_ref[0, 0, r] > 0, mp_chain, mp_exc, 0)
-
         jvalid = (j >= 1) & (j <= lb_v)
-        diag = jnp.where(jvalid, _roll_right(mp, 1, NEG) + sub, NEG)
-        up = mp + GAP
-        base = jnp.where(j == 0, up, jnp.maximum(diag, up))
-        base = jnp.where(j <= lb_v, base, NEG)
-        H = _prefix_max(base - decay) + decay
         node_ok = r < nn_v                            # (W, 1)
-        hrow = jnp.where(node_ok, H, NEG)
+
+        def finish(mp):
+            """(hrow, diag, up) from the max-plus predecessor row."""
+            diag = jnp.where(jvalid, _roll_right(mp, 1, NEG) + sub, NEG)
+            up = mp + GAP
+            base = jnp.where(j == 0, up, jnp.maximum(diag, up))
+            base = jnp.where(j <= lb_v, base, NEG)
+            H = _prefix_max(base - decay) + decay
+            return jnp.where(node_ok, H, NEG), diag, up
 
         # directions against the finished row: diag preds in order, then
         # graph-gap preds in order, then seq-gap (left) — the reference
         # tie-break (ops/poa.py, native/poa_engine.cpp traceback)
-        def dir_chain(_):
+        def chain_path(_):
+            hrow, diag, up = finish(hprev)
             diag_ok = (hrow == diag) & jvalid
             up_ok = hrow == up
             d16 = jnp.full((W, l1), 16, jnp.int32)
-            return jnp.where(diag_ok, 0, jnp.where(up_ok, 8, d16))
+            return hrow, jnp.where(diag_ok, 0, jnp.where(up_ok, 8, d16))
 
-        def dir_exc(_):
-            rows = []
+        def branch_path(_):
+            # ONE gather per (window, pred slot), reused by both the
+            # max-plus recurrence and the direction pass.  Pad slots
+            # duplicate slot 0 (host packing) so every gather is valid;
+            # slot 0 is processed last in the direction merge, so
+            # duplicate matches collapse to the lowest slot.
+            pred_rows, accs = [], []
             for w in range(W):
                 pv = preds_row(w, r)
+                rows_w = [pred_h(pv, p, w)[0] for p in range(MAX_PREDS)]
+                acc = rows_w[0]
+                for p in range(1, MAX_PREDS):
+                    acc = jnp.maximum(acc, rows_w[p])
+                pred_rows.append(rows_w)
+                accs.append(acc)
+            hrow, _diag, _up = finish(jnp.concatenate(accs, axis=0))
+            dirs = []
+            for w in range(W):
                 hw = hrow[w:w + 1, :]
                 subw = sub[w:w + 1, :]
                 lbw = lb_ref[w, 0]
                 jv = (j1 >= 1) & (j1 <= lbw)
-                # one load per pred slot: first-matching diag and up slots
-                # tracked separately, then merged by priority.  Pad slots
-                # duplicate slot 0 (host packing), and slot 0 is processed
-                # last, so duplicate matches collapse to the lowest slot.
+                # first-matching diag and up slots tracked separately,
+                # then merged by priority
                 d_diag = jnp.full((1, l1), -1, jnp.int32)
                 d_up = jnp.full((1, l1), -1, jnp.int32)
                 for p in reversed(range(MAX_PREDS)):
-                    v, _pr = pred_h(pv, p, w)
+                    v = pred_rows[w][p]
                     uok = hw == v + GAP
                     dok = (hw == _roll_right(v, 1, NEG) + subw) & jv
                     d_up = jnp.where(uok, 8 + p, d_up)
                     d_diag = jnp.where(dok, p, d_diag)
-                rows.append(jnp.where(d_diag >= 0, d_diag,
+                dirs.append(jnp.where(d_diag >= 0, d_diag,
                                       jnp.where(d_up >= 0, d_up, 16)))
-            return jnp.concatenate(rows, axis=0)
+            return hrow, jnp.concatenate(dirs, axis=0)
 
-        dirrow = jax.lax.cond(chain_ref[0, 0, r] > 0, dir_chain, dir_exc, 0)
+        if chain_only:
+            # branch-free variant: the dispatcher proved every row of
+            # every window in the batch is a chain row (round 1 of the
+            # MSA build aligns against the linear backbone), so the whole
+            # DP is carried-row NW — no cond, no gathers.
+            hrow, dirrow = chain_path(0)
+        else:
+            hrow, dirrow = jax.lax.cond(chain_ref[0, 0, r] > 0,
+                                        chain_path, branch_path, 0)
 
         h_s[pl.ds(i, 1)] = hrow.reshape(1, W, l1)
         d_s[pl.ds(r, 1)] = dirrow.reshape(1, W, l1)
@@ -240,14 +248,16 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_max", "l_max", "interpret"))
+                   static_argnames=("n_max", "l_max", "interpret",
+                                    "chain_only"))
 def _align_batch_padded(chars, sinks, preds, seqs_sh, lb, nn, chain,
-                        n_max: int, l_max: int, interpret: bool = False):
+                        n_max: int, l_max: int, interpret: bool = False,
+                        chain_only: bool = False):
     B = chars.shape[0]
     out_len = n_max + l_max
     l1 = l_max + 1
     kernel = functools.partial(_poa_kernel, n_max=n_max, l_max=l_max,
-                               out_len=out_len)
+                               out_len=out_len, chain_only=chain_only)
     grid = (B // W,)
     return pl.pallas_call(
         kernel,
@@ -342,8 +352,10 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
     # after chain detection: pad empty slots with slot 0's rank so branch
     # rows gather unconditionally (duplicate matches collapse to slot 0)
     preds = np.where(preds < 0, preds[:, :, :1], preds)
+    chain_only = bool(chainw.all())
     dev = jax.device_put((chars.astype(np.int32),
                           np.asarray(is_sink).astype(np.int32),
                           preds, seqs_sh, lb, nn, chain_all))  # 1 transfer
-    an, asp, ke, sc = _align_batch_padded(*dev, N, l_max, interpret)
+    an, asp, ke, sc = _align_batch_padded(*dev, N, l_max, interpret,
+                                          chain_only)
     return an[:B], asp[:B], ke[:B, 0], sc[:B, 0]

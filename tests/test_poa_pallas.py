@@ -94,6 +94,17 @@ def test_pallas_parity_interpret():
     _assert_parity(graphs, seqs, packed, *arrs, 64, interpret=not ON_TPU)
 
 
+def test_pallas_parity_chain_only():
+    """Backbone-only graphs (every row a chain row) take the branch-free
+    kernel specialization; output must match the native engine exactly."""
+    rng = np.random.default_rng(13)
+    graphs, seqs = _build_cases(rng, 8, 40, 0)
+    packed, *arrs = _pack(graphs, seqs, 64, 64)
+    flags = chain_flags(arrs[1], arrs[3])
+    assert flags.all(), "test premise: backbone graphs are pure chains"
+    _assert_parity(graphs, seqs, packed, *arrs, 64, interpret=not ON_TPU)
+
+
 def test_chain_flags():
     preds = np.full((1, 5, 8), -1, np.int32)
     preds[0, 1, 0] = 0
