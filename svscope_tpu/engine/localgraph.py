@@ -85,8 +85,9 @@ def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa,
                 som_idx.append(members)
             elif members.size >= readcutoff:
                 germ_idx.append(members)
-        som_rows = [[sq.decode(enc[i + 1]) for i in idx] for idx in som_idx]
-        germ_rows = [[sq.decode(enc[i + 1]) for i in idx] for idx in germ_idx]
+        dec = sq.decode_rows(enc[1:]) if (som_idx or germ_idx) else []
+        som_rows = [[dec[i] for i in idx] for idx in som_idx]
+        germ_rows = [[dec[i] for i in idx] for idx in germ_idx]
         for pos, rws in enumerate(som_rows):
             if max(map(len, rws)) > 0:
                 job_ref.append((wi, "som", pos))

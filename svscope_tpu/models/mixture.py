@@ -116,27 +116,26 @@ def ward_init_labels(seqdatamx: np.ndarray, kmax: int,
     if sim is None:
         sim = pairwise_identity(seqdatamx)
     Z = linkage(sim, "ward")
-    parent = np.arange(2 * n - 1)
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
+    # leaf -> current cluster id, updated per merge with small-to-large
+    # member moves; each cut's labels come from one vectorized
+    # first-occurrence relabel (the per-leaf union-find walk dominated the
+    # EM host-prep profile at large chunk counts)
+    root = np.arange(n, dtype=np.int64)
+    members: dict[int, np.ndarray] = {i: np.array([i]) for i in range(n)}
     m = 0
     for k in range(min(kmax, n), 1, -1):
         while m < n - k:
             a, b = int(Z[m, 0]), int(Z[m, 1])
-            parent[find(a)] = parent[find(b)] = n + m
+            ma, mb = members.pop(a), members.pop(b)
+            mc = np.concatenate([ma, mb])
+            root[mc] = n + m
+            members[n + m] = mc
             m += 1
-        roots: dict = {}
-        out = labels[k - 1]
-        for i in range(n):
-            r = find(i)
-            if r not in roots:
-                roots[r] = len(roots)
-            out[i] = roots[r]
+        _u, first, inv = np.unique(root, return_index=True,
+                                   return_inverse=True)
+        order = np.empty(len(first), np.int32)
+        order[np.argsort(first)] = np.arange(len(first), dtype=np.int32)
+        labels[k - 1] = order[inv]
     return labels
 
 
@@ -469,23 +468,25 @@ def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
             ns[bi], nfs[bi] = x.shape
             codes[bi, :x.shape[0], :x.shape[1]] = x
         nb = len(idxs)
-        # batched pairwise identity + zero-param counts over the padded
-        # codes: pad rows are all-PAD_CODE (outside the 0..4 alphabet, so
-        # they never hit a symbol count) and pad columns are equal in every
-        # row pair (subtract their fixed contribution from eq)
+        # batched pairwise identity + zero-param counts via a one-hot
+        # batched matmul: eq(i,j) = sum_a <x_i==a, x_j==a>.  PAD_CODE is
+        # outside the 0..4 alphabet, so pad rows/columns contribute 0 and
+        # no correction terms are needed.  Counts are integers <= nf_pad
+        # << 2^24, exact in f32; BLAS does the O(nb*n^2*nf*5) work without
+        # ever materializing the (nb, n, n, nf) comparison tensor.
         sims = zps_b = None
-        if nb * n_pad * n_pad * nf_pad <= (1 << 27):
+        if nb * n_pad * n_pad * nf_pad * ALPHA <= (1 << 31):
             c = codes[:nb]
-            sims = (c[:, :, None, :] == c[:, None, :, :]).sum(axis=3)
-            zps_b = np.stack([(c == a).sum(axis=1) for a in range(ALPHA)],
-                             axis=-1)                 # (nb, nf_pad, ALPHA)
+            oh = (c[..., None] == np.arange(ALPHA, dtype=c.dtype))
+            oh_f = oh.reshape(nb, n_pad, nf_pad * ALPHA).astype(np.float32)
+            sims = np.matmul(oh_f, oh_f.transpose(0, 2, 1))  # (nb, n, n)
+            zps_b = oh.sum(axis=1)                    # (nb, nf_pad, ALPHA)
         for bi, i in enumerate(idxs):
             x = np.asarray(feats[i])
             n, nf = x.shape
             n_k = max(min(max_c + 1, n) - 1, 1)
             if sims is not None:
-                sim = ((sims[bi, :n, :n] - (nf_pad - nf)) / max(nf, 1)
-                       ).astype(np.float64)
+                sim = (sims[bi, :n, :n] / max(nf, 1)).astype(np.float64)
                 np.fill_diagonal(sim, 1.0)
                 zps[bi] = float((zps_b[bi, :nf] == 0).sum())
             else:

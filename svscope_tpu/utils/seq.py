@@ -47,6 +47,16 @@ def encode_rows(rows: list[str]) -> np.ndarray:
     return out.reshape(n, len(b) // max(n, 1))
 
 
+def decode_rows(codes: np.ndarray) -> list[str]:
+    """Degap-decode every row of an (n, L) code matrix in one vector pass
+    (the per-row decode() loop showed up in the consensus-emit profile)."""
+    codes = np.asarray(codes)
+    mask = codes != GAP
+    flat = _DEC[codes[mask].astype(np.intp)].tobytes().decode()
+    offs = np.concatenate([[0], np.cumsum(mask.sum(axis=1))])
+    return [flat[offs[i]:offs[i + 1]] for i in range(codes.shape[0])]
+
+
 def decode(codes: np.ndarray, keep_gaps: bool = False) -> str:
     """Decode int codes to a string; gaps (4) dropped unless keep_gaps."""
     codes = np.asarray(codes)
