@@ -118,10 +118,14 @@ class NativePoaGraph:
             return None
         return chars, preds, sinks.astype(bool), np.int32(n), nor
 
-    def msa(self, max_cols: int = 1 << 20) -> list[str]:
+    def msa(self, max_cols: int | None = None) -> list[str]:
         ns = self.n_seqs()
         if ns == 0:
             return []
+        # every MSA column holds >=1 node, so n_nodes bounds the width —
+        # the old fixed 1<<20 cap zeroed ~25 MB per call
+        if max_cols is None:
+            max_cols = self.n_nodes() + 2
         out = np.zeros(ns * max_cols, np.uint8)
         ncol = self._lib.poa_msa(self._h, max_cols, _u8p(out))
         if ncol < 0:
@@ -129,7 +133,9 @@ class NativePoaGraph:
         rows = out[:ns * ncol].reshape(ns, ncol)
         return [r.tobytes().decode() for r in rows]
 
-    def consensus(self, cap: int = 1 << 20) -> str:
+    def consensus(self, cap: int | None = None) -> str:
+        if cap is None:
+            cap = self.n_nodes() + 2     # consensus is a path in the graph
         out = np.zeros(cap, np.uint8)
         n = self._lib.poa_consensus(self._h, cap, _u8p(out))
         if n < 0:
