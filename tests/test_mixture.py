@@ -183,3 +183,31 @@ def test_labels_only_dispatch_matches_full_path():
         assert np.array_equal(f[2], l[2])
         np.testing.assert_allclose(f[6], l[6], rtol=0, atol=0,
                                    equal_nan=True)
+
+
+def test_ward_cuts_match_scipy_fcluster_partitions():
+    """The vectorized small-to-large ward cut labeling must produce the same
+    partition as scipy fcluster(maxclust=K) for every K, on random feature
+    matrices (label names are first-occurrence order, so compare as
+    partitions)."""
+    from scipy.cluster.hierarchy import linkage, fcluster
+    from svscope_tpu.models.mixture import pairwise_identity
+    for t in range(25):
+        rng = np.random.default_rng(100 + t)
+        n = int(rng.integers(4, 40))
+        nf = int(rng.integers(12, 60))
+        x = rng.integers(0, 5, (n, nf)).astype(np.int8)
+        lab = ward_init_labels(x, 9)
+        Z = linkage(pairwise_identity(x), "ward")
+        for k in range(2, min(9, n) + 1):
+            fc = fcluster(Z, k, criterion="maxclust")
+            ours = lab[k - 1]
+            part_ref = {tuple(np.flatnonzero(fc == l))
+                        for l in set(fc.tolist())}
+            part_our = {tuple(np.flatnonzero(ours == l))
+                        for l in set(ours.tolist())}
+            assert part_ref == part_our, (t, k)
+            # first-occurrence labeling: labels appear in increasing order
+            first = [int(ours[np.flatnonzero(ours == l)[0]])
+                     for l in sorted(set(ours.tolist()))]
+            assert first == sorted(first)
