@@ -475,7 +475,7 @@ def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
         # << 2^24, exact in f32; BLAS does the O(nb*n^2*nf*5) work without
         # ever materializing the (nb, n, n, nf) comparison tensor.
         sims = zps_b = None
-        if nb * n_pad * n_pad * nf_pad * ALPHA <= (1 << 31):
+        if nb * n_pad * n_pad * nf_pad * ALPHA <= (1 << 29):
             c = codes[:nb]
             oh = (c[..., None] == np.arange(ALPHA, dtype=c.dtype))
             oh_f = oh.reshape(nb, n_pad, nf_pad * ALPHA).astype(np.float32)
