@@ -201,3 +201,16 @@ def test_local_graph_matches_sequential_envelope(tmp_path):
         data_maker(r, ref, readers, labels, offset=50))) for r in recs)
     assert got == exp
     assert sum("EMOutput" in g for g in got) == 2
+
+
+def test_decode_rows_round_trip():
+    """Batched degap-decode equals per-row decode on random gapped rows,
+    including all-gap and empty-matrix edges."""
+    from svscope_tpu.utils.seq import decode, decode_rows
+    rng = np.random.default_rng(17)
+    for _ in range(10):
+        n, L = int(rng.integers(1, 12)), int(rng.integers(1, 60))
+        codes = rng.integers(0, 5, (n, L)).astype(np.int8)
+        codes[0, :] = 4                      # an all-gap row decodes to ""
+        assert decode_rows(codes) == [decode(codes[i]) for i in range(n)]
+    assert decode_rows(np.zeros((0, 7), np.int8)) == []
