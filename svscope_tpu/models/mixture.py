@@ -116,10 +116,11 @@ def ward_init_labels(seqdatamx: np.ndarray, kmax: int,
     if sim is None:
         sim = pairwise_identity(seqdatamx)
     Z = linkage(sim, "ward")
-    # leaf -> current cluster id, updated per merge with small-to-large
-    # member moves; each cut's labels come from one vectorized
-    # first-occurrence relabel (the per-leaf union-find walk dominated the
-    # EM host-prep profile at large chunk counts)
+    # leaf -> current cluster id, re-stamped eagerly over both sides of
+    # each merge (total O(n log n)-ish for Ward trees); each cut's labels
+    # come from one vectorized first-occurrence relabel (the per-leaf
+    # union-find walk dominated the EM host-prep profile at large chunk
+    # counts)
     root = np.arange(n, dtype=np.int64)
     members: dict[int, np.ndarray] = {i: np.array([i]) for i in range(n)}
     m = 0
@@ -364,15 +365,27 @@ def _em_folded_batch_light(codes, hard, n_k, n_true, nf_true, zpn, keys,
         codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
 
 
-_KEY_CACHE: dict[int, np.ndarray] = {}
+_KEY_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+# Reference parity: EMCluster re-runs EM while BIC is NaN, up to 5 total
+# attempts per K (src/ReadsCluster.py:247-252: ClusterCount=5 decremented
+# per run).  Each attempt here re-keys the degenerate-re-init RNG; slots
+# that produced a finite BIC keep their first finite result, exactly like
+# the reference's per-K while loop.
+MAX_EM_ATTEMPTS = 5
 
 
-def _host_prng_key(seed: int) -> np.ndarray:
-    """Host copy of jax.random.PRNGKey(seed) — building the key on device
-    and fetching it back costs two tunnel round trips per dispatch."""
-    if seed not in _KEY_CACHE:
-        _KEY_CACHE[seed] = np.asarray(jax.random.PRNGKey(seed))
-    return _KEY_CACHE[seed]
+def _host_prng_key(seed: int, attempt: int = 0) -> np.ndarray:
+    """Host copy of jax.random.PRNGKey(seed) (fold_in(attempt) for NaN-BIC
+    retries) — building the key on device and fetching it back costs two
+    tunnel round trips per dispatch."""
+    k = (seed, attempt)
+    if k not in _KEY_CACHE:
+        key = jax.random.PRNGKey(seed)
+        if attempt:
+            key = jax.random.fold_in(key, attempt)
+        _KEY_CACHE[k] = np.asarray(key)
+    return _KEY_CACHE[k]
 
 
 def zero_param_count(seqdatamx: np.ndarray) -> int:
@@ -418,8 +431,9 @@ def _select_result(x, bics, gammas, pis, thetas, n_k):
     bics = np.array(bics, np.float64)
     bics[n_k:] = np.nan
     if np.isnan(bics[:n_k]).all():
-        # every K diverged (the reference retries and then crashes,
-        # src/ReadsCluster.py:247-252); degrade to a single cluster
+        # every K diverged after the upstream MAX_EM_ATTEMPTS re-keyed
+        # retries (the reference crashes at nanargmax here,
+        # src/ReadsCluster.py:264); degrade to a single cluster
         return [1, x, np.zeros(n, np.int64), None,
                 np.ones((n, 1), np.float64), None, bics[:n_k]]
     sel = int(np.nanargmax(bics))
@@ -433,21 +447,18 @@ def _select_result(x, bics, gammas, pis, thetas, n_k):
     return [k_sel, x, labels, theta, gamma, pi, bics[:n_k]]
 
 
-def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
-                              seed: int = 2023, dtype=jnp.float32,
-                              nsteps: int = NSTEP, labels_only: bool = False):
-    """Async half of em_cluster_batch: host prep + device dispatch for every
-    shape bucket, returning a fetch() closure that blocks on the single
-    batched device_get and finishes selection.  Lets the caller overlap the
-    device EM with host work (localGraph overlaps the previous chunk's
-    consensus emission)."""
+def _raw_em_dispatch(feats: list[np.ndarray], max_c: int,
+                     base_key: np.ndarray, dtype, nsteps: int,
+                     labels_only: bool):
+    """Host prep + async device EM over shape buckets.  Returns a fetch()
+    closure producing raw per-window tuples (bics (MAX_K,), per-K output
+    — int8 labels (MAX_K, N) or gamma (MAX_K, N, MAX_K) —, n_k)."""
     results: list = [None] * len(feats)
     groups: dict[tuple[int, int], list[int]] = {}
     for i, x in enumerate(feats):
         key = (_bucket(x.shape[0], READS_LADDER),
                _bucket(x.shape[1]))
         groups.setdefault(key, []).append(i)
-    base_key = _host_prng_key(seed)
     # fixed batch-axis buckets: one chunk = one compiled shape; pad chunks
     # by repeating the first window (results discarded)
     chunks = []
@@ -520,15 +531,52 @@ def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
         fetched = jax.device_get([(b, g) for _, _, b, g in pending])
         for (idxs, nks, _, _), (bics_b, gammas_b) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
-                if labels_only:
-                    results[i] = _select_result_labels(
-                        np.asarray(feats[i]), bics_b[bi], gammas_b[bi],
-                        int(nks[bi]))
-                else:
-                    results[i] = _select_result(
-                        np.asarray(feats[i]), bics_b[bi], gammas_b[bi],
-                        None, None, int(nks[bi]))
+                results[i] = (np.array(bics_b[bi], np.float64),
+                              np.array(gammas_b[bi]), int(nks[bi]))
         return results
+
+    return fetch
+
+
+def em_cluster_batch_dispatch(feats: list[np.ndarray], max_c: int = MAX_K,
+                              seed: int = 2023, dtype=jnp.float32,
+                              nsteps: int = NSTEP, labels_only: bool = False):
+    """Async half of em_cluster_batch: host prep + device dispatch for every
+    shape bucket, returning a fetch() closure that blocks on the single
+    batched device_get, applies the reference's NaN-BIC retry policy (up to
+    MAX_EM_ATTEMPTS re-keyed runs per K, src/ReadsCluster.py:247-252) and
+    finishes selection.  Lets the caller overlap the device EM with host
+    work (localGraph overlaps the previous chunk's consensus emission)."""
+    raw_fetch = _raw_em_dispatch(feats, max_c, _host_prng_key(seed), dtype,
+                                 nsteps, labels_only)
+
+    def fetch():
+        raws = raw_fetch()
+        need = [i for i, (b, _o, nk) in enumerate(raws)
+                if np.isnan(b[:nk]).any()]
+        for attempt in range(1, MAX_EM_ATTEMPTS):
+            if not need:
+                break
+            subs = _raw_em_dispatch([feats[i] for i in need], max_c,
+                                    _host_prng_key(seed, attempt), dtype,
+                                    nsteps, labels_only)()
+            still = []
+            for i, (b2, o2, nk) in zip(need, subs):
+                b, o, _nk = raws[i]
+                bad = np.flatnonzero(np.isnan(b[:nk]))
+                b[bad] = b2[bad]          # last attempt wins on NaN slots
+                o[bad] = o2[bad]
+                if np.isnan(b[:nk]).any():
+                    still.append(i)
+            need = still
+        out = []
+        for x, (b, o, nk) in zip(feats, raws):
+            x = np.asarray(x)
+            if labels_only:
+                out.append(_select_result_labels(x, b, o, nk))
+            else:
+                out.append(_select_result(x, b, o, None, None, nk))
+        return out
 
     return fetch
 
@@ -581,12 +629,23 @@ def em_cluster(seqdatamx: np.ndarray, max_c: int = MAX_K, seed: int = 2023,
     nf_pad = _bucket(nf) if pad_shapes else nf
     x_oh, read_mask, gamma0_all, kmask_all, n_k, zpn = _prepare_window(
         x, max_c, n_pad, nf_pad)
-    keys = jax.random.split(jax.random.PRNGKey(seed), MAX_K)
     cast = lambda a: jnp.asarray(a, dtype=dtype)
-    bics, gammas, pis, thetas = _em_all_k(
-        cast(x_oh), cast(read_mask), cast(gamma0_all),
-        jnp.asarray(kmask_all), jnp.asarray(float(n), dtype=dtype),
-        jnp.asarray(float(nf), dtype=dtype), jnp.asarray(float(zpn), dtype=dtype),
-        keys, nsteps)
-    return _select_result(x, np.array(bics), np.array(gammas), np.array(pis),
-                          np.array(thetas), n_k)
+    args = (cast(x_oh), cast(read_mask), cast(gamma0_all),
+            jnp.asarray(kmask_all), jnp.asarray(float(n), dtype=dtype),
+            jnp.asarray(float(nf), dtype=dtype),
+            jnp.asarray(float(zpn), dtype=dtype))
+    run = lambda a: jax.random.split(jnp.asarray(_host_prng_key(seed, a)),
+                                     MAX_K)
+    bics, gammas, pis, thetas = (np.array(v, np.float64) for v in
+                                 _em_all_k(*args, run(0), nsteps))
+    # reference NaN-BIC retry: up to MAX_EM_ATTEMPTS re-keyed runs per K
+    # (src/ReadsCluster.py:247-252); finite slots keep their first result
+    for attempt in range(1, MAX_EM_ATTEMPTS):
+        bad = np.flatnonzero(np.isnan(bics[:n_k]))
+        if bad.size == 0:
+            break
+        b2, g2, p2, t2 = (np.array(v, np.float64) for v in
+                          _em_all_k(*args, run(attempt), nsteps))
+        bics[bad], gammas[bad], pis[bad], thetas[bad] = \
+            b2[bad], g2[bad], p2[bad], t2[bad]
+    return _select_result(x, bics, gammas, pis, thetas, n_k)

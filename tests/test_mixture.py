@@ -211,3 +211,74 @@ def test_ward_cuts_match_scipy_fcluster_partitions():
             first = [int(ours[np.flatnonzero(ours == l)[0]])
                      for l in sorted(set(ours.tolist()))]
             assert first == sorted(first)
+
+
+def test_nan_bic_retry_recovers(monkeypatch):
+    """Reference parity (src/ReadsCluster.py:247-252): a NaN BIC re-runs EM
+    with fresh RNG up to 5 total attempts.  Poison the first device call and
+    check the batch path recovers the clean result on attempt 2."""
+    import svscope_tpu.models.mixture as mx
+    rng = np.random.default_rng(7)
+    feats = [_make_two_cluster(rng, n1=5, n2=5, nf=20) for _ in range(3)]
+    clean = mx.em_cluster_batch(feats, dtype=jnp.float64)
+    calls = {"n": 0}
+    real = mx._em_folded_batch
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        bics, gammas = real(*args, **kw)
+        if calls["n"] == 1:
+            bics = jnp.full_like(bics, jnp.nan)
+        return bics, gammas
+
+    monkeypatch.setattr(mx, "_em_folded_batch", flaky)
+    out = mx.em_cluster_batch(feats, dtype=jnp.float64)
+    assert calls["n"] == 2          # one retry round fixed every window
+    for c, o in zip(clean, out):
+        assert o[0] == c[0]
+        assert (o[2] == c[2]).all()
+
+
+def test_nan_bic_retry_exhausts_to_k1(monkeypatch):
+    """All MAX_EM_ATTEMPTS runs NaN: the reference crashes at nanargmax
+    (src/ReadsCluster.py:264); we degrade gracefully to K=1 after exactly
+    MAX_EM_ATTEMPTS dispatches."""
+    import svscope_tpu.models.mixture as mx
+    rng = np.random.default_rng(8)
+    feats = [_make_two_cluster(rng, n1=4, n2=4, nf=16)]
+    calls = {"n": 0}
+    real = mx._em_folded_batch
+
+    def always_nan(*args, **kw):
+        calls["n"] += 1
+        bics, gammas = real(*args, **kw)
+        return jnp.full_like(bics, jnp.nan), gammas
+
+    monkeypatch.setattr(mx, "_em_folded_batch", always_nan)
+    out = mx.em_cluster_batch(feats, dtype=jnp.float64)
+    assert calls["n"] == mx.MAX_EM_ATTEMPTS
+    K, _, labels, *_ = out[0]
+    assert K == 1 and (labels == 0).all()
+
+
+def test_nan_bic_retry_single_window(monkeypatch):
+    """Same policy on the single-window em_cluster path (_em_all_k)."""
+    import svscope_tpu.models.mixture as mx
+    rng = np.random.default_rng(9)
+    x = _make_two_cluster(rng, n1=5, n2=5, nf=20)
+    clean = mx.em_cluster(x, dtype=jnp.float64)
+    calls = {"n": 0}
+    real = mx._em_all_k
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        bics, gammas, pis, thetas = real(*args, **kw)
+        if calls["n"] == 1:
+            bics = jnp.full_like(bics, jnp.nan)
+        return bics, gammas, pis, thetas
+
+    monkeypatch.setattr(mx, "_em_all_k", flaky)
+    out = mx.em_cluster(x, dtype=jnp.float64)
+    assert calls["n"] == 2
+    assert out[0] == clean[0]
+    assert (out[2] == clean[2]).all()
