@@ -231,17 +231,6 @@ class PoaGraph:
             path.append(v)
         return "".join(self.chars[v] for v in path)
 
-    # per-sequence successor map, built lazily
-    def _next_on_path(self, v: int, sidx: int) -> int:
-        if not hasattr(self, "_succ") or self._succ_len != len(self.seq_begin):
-            self._build_succ()
-        return self._succ.get((v, sidx), -1)
-
-    def _build_succ(self):
-        # re-derive each sequence's node path by replay: store during build
-        raise RuntimeError("successor map must be recorded during build")
-
-
 def poa(sequences: list[str], algorithm: int = 1, m: int = 5, n: int = -4,
         g: int = -8):
     """spoa-equivalent entry point: returns (consensus, msa).

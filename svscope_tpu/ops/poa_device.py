@@ -23,8 +23,10 @@ behind the same signature):
     returns compact (node, seq_pos) pairs (-1 gaps), so the big H/direction
     state never crosses the tunnel
 
-Parity with PoaGraph.align is exact (tests/test_poa_device.py) because both
-implement the same recurrence with the same tie-break order.
+Parity with PoaGraph.align is exact because both implement the same
+recurrence with the same tie-break order; tests/test_poa_pallas.py runs
+this aligner as the baseline for the Pallas kernel on randomized packed
+graphs, and tests/test_engine.py covers it through the device-POA MSA path.
 """
 from __future__ import annotations
 

@@ -82,7 +82,7 @@ def _exw(col, w):
 def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                 chain_ref, an_ref, as_ref, ke_ref, sc_ref,
                 h_s, d_s, *, n_max: int, l_max: int, out_len: int,
-                chain_only: bool, mode: str = "full"):
+                chain_only: bool):
     l1 = l_max + 1
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
     j1 = j[0:1]                                       # (1, l1)
@@ -192,8 +192,7 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                                         chain_path, branch_path, 0)
 
         h_s[pl.ds(i, 1)] = hrow.reshape(1, W, l1)
-        if mode != "dp":
-            d_s[pl.ds(r, 1)] = dirrow.reshape(1, W, l1)
+        d_s[pl.ds(r, 1)] = dirrow.reshape(1, W, l1)
 
         # best-sink tracking at column seq_len (strict > keeps the first
         # max — the XLA aligner's argmax tie-break in rank order)
@@ -211,13 +210,6 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         (h0, bval0, brank0))
 
     io_out = jax.lax.broadcasted_iota(jnp.int32, (1, out_len), 1)
-    if mode != "full":
-        for w in range(W):
-            sc_ref[w, 0] = _exw(bval, w)
-            ke_ref[w, 0] = out_len - 1
-        an_ref[:] = jnp.full((W, out_len), -2, jnp.int32)
-        as_ref[:] = jnp.full((W, out_len), -2, jnp.int32)
-        return
     for w in range(W):
         sc_ref[w, 0] = _exw(bval, w)
         lbw = lb_ref[w, 0]
@@ -257,16 +249,15 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_max", "l_max", "interpret",
-                                    "chain_only", "mode"))
+                                    "chain_only"))
 def _align_batch_padded(chars, sinks, preds, seqs_sh, lb, nn, chain,
                         n_max: int, l_max: int, interpret: bool = False,
-                        chain_only: bool = False, mode: str = "full"):
+                        chain_only: bool = False):
     B = chars.shape[0]
     out_len = n_max + l_max
     l1 = l_max + 1
     kernel = functools.partial(_poa_kernel, n_max=n_max, l_max=l_max,
-                               out_len=out_len, chain_only=chain_only,
-                               mode=mode)
+                               out_len=out_len, chain_only=chain_only)
     grid = (B // W,)
     return pl.pallas_call(
         kernel,
