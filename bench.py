@@ -131,6 +131,7 @@ def run_measurement(n_windows=N_WINDOWS):
         "value": round(ours, 2),
         "unit": "windows/s",
         "vs_baseline": round(ours / base, 2),
+        "n_windows": n_windows,
     }
 
 
@@ -143,15 +144,16 @@ def main():
     # mid-device-call jams the queue); never let that hang the driver.  A
     # sick-but-alive tunnel can also return a pathologically low number, so
     # when the TPU run lands under the floor the CPU path is measured too
-    # and the better of the two honest measurements is reported (same
-    # workload, same host; the engine picks its backend per deployment).
+    # and the better of the two honest measurements is reported (identical
+    # 256-window workload, same host; the engine picks its backend per
+    # deployment).
     import subprocess
     env = dict(os.environ)
     TPU_SANITY_FLOOR = 60.0   # w/s; healthy runs measure 200+ either way
     best = None
     for args, extra_env, tmo in (
             (["--inner"], {}, 900),
-            (["--inner", "--small"], {"JAX_PLATFORMS": "cpu"}, 1800)):
+            (["--inner"], {"JAX_PLATFORMS": "cpu"}, 1800)):
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 *args],
