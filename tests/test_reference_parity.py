@@ -1,0 +1,176 @@
+"""Direct parity against the reference implementation (/root/reference/src).
+
+Three tiers, by what this environment can import:
+
+1. Always-on: reference modules with no native deps run as oracles
+   (OutVCF.bed2vcf here; ReadsCluster.EMCluster in test_mixture.py).
+2. Environment-gated: pyspoa and pysam do NOT exist in this image (zero
+   egress; `pip download pyspoa` returns no distribution).  The empirical
+   checks SURVEY §2.2 calls for — the poa(seqs, 1) algorithm-int mapping
+   and a FetchTDsubSeq/DataMaker diff through the real pysam path — are
+   committed below behind importorskip so they execute on any host that
+   has the reference's deps.
+3. Documented evidence for the algorithm-int mapping (docs/DESIGN.md
+   "pyspoa algorithm mapping"): spoa's public AlignmentType enum is
+   {kSW=0, kNW=1, kOV=2} and pyspoa constructs its engine via
+   static_cast<spoa::AlignmentType>(algorithm), so poa(seqs, 1) is global
+   NW — which is what ops/poa.py implements.  The reference's release
+   note claiming "simi-global" (src/DataScanner.py:8) contradicts its own
+   call sites' enum value; the gated test settles it empirically where
+   pyspoa exists.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_SRC = "/root/reference/src"
+
+
+def _import_ref(name):
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference snapshot not mounted")
+    sys.path.insert(0, REF_SRC)
+    try:
+        return __import__(name)
+    finally:
+        sys.path.remove(REF_SRC)
+
+
+def _strip_filedate(text: str) -> str:
+    return "\n".join(l for l in text.split("\n")
+                     if not l.startswith('##fileDate='))
+
+
+def test_bed2vcf_bytes_match_reference(tmp_path):
+    """Byte-for-byte VCF parity (modulo the wall-clock ##fileDate line)
+    between out/vcf.bed2vcf and reference src/OutVCF.py:38-77 on a fixture
+    covering all three SVTYPE branches (INS / DEL / MisAlign)."""
+    ref_outvcf = _import_ref("OutVCF")
+    from svscope_tpu.out.vcf import bed2vcf
+
+    fasta = tmp_path / "ref.fa"
+    fasta.write_text(">chr1\n" + "A" * 80 + "\n")
+    (tmp_path / "ref.fa.fai").write_text(
+        "chr1\t5000\t6\t80\t81\nchr2\t4000\t5093\t80\t81\n")
+
+    raw_rows = [
+        ["chr1", 100, 300, "ACGTACGT", "r1,r2,r3", 1,
+         "ACGGACGT", "r4,r5,r6", 1, "NormalOutput|EMOutput"],
+        ["chr1", 900, 1200, "TTTT;GGGG", "a1,a2,a3;b1,b2,b3", 2,
+         "CCCC", "c1,c2,c3", 1, "NormalOutput|EMOutput"],
+        ["chr2", 50, 260, "AC", "x1,x2,x3", 1,
+         "ACAC", "y1,y2,y3", 1, "NormalOutput|EMOutput"],
+    ]
+    raw_bed = tmp_path / "Raw.bed"
+    raw_bed.write_text("".join("\t".join(str(x) for x in r) + "\n"
+                               for r in raw_rows))
+    som_rows = [
+        ["chr1", 100, 300, "chr1_100-300", "r1,r2,r3", 60, 0.5, "x"],
+        ["chr1", 900, 1200, "chr1_900-1200", "a1,a2,a3;b1,b2,b3",
+         -75, 0.31, "x"],
+        ["chr2", 50, 260, "chr2_50-260", "x1,x2,x3", 10, 0.9, "x"],
+    ]
+    som_bed = tmp_path / "Somatic.bed"
+    som_bed.write_text("".join("\t".join(str(x) for x in r) + "\n"
+                               for r in som_rows))
+    model = tmp_path / "model.tsv"
+    model.write_text("window\typrob\ty_hat\n"
+                     "chr1_100-300\t0.91\tTrue\n"
+                     "chr1_900-1200\t0.77\tTrue\n"
+                     "chr2_50-260\t0.12\tFalse\n")
+
+    ours = tmp_path / "ours.vcf"
+    theirs = tmp_path / "theirs.vcf"
+    bed2vcf(str(raw_bed), str(som_bed), str(model), str(ours), "T",
+            str(fasta))
+    ref_outvcf.bed2vcf(str(raw_bed), str(som_bed), str(model), str(theirs),
+                       "T", str(fasta))
+    got = _strip_filedate(ours.read_text())
+    exp = _strip_filedate(theirs.read_text())
+    assert got == exp
+    assert "SVTYPE=INS" in got and "SVTYPE=DEL" in got \
+        and "SVTYPE=MisAlign" in got
+
+
+def test_header_bytes_match_reference(tmp_path):
+    ref_outvcf = _import_ref("OutVCF")
+    from svscope_tpu.out.vcf import write_inner_header
+    fasta = tmp_path / "g.fa"
+    fasta.write_text(">c\nAAAA\n")
+    fai = tmp_path / "g.fa.fai"
+    fai.write_text("c\t4\t3\t4\t5\n")
+    ours = tmp_path / "ours.vcf"
+    theirs = tmp_path / "theirs.vcf"
+    write_inner_header(str(fai), str(ours), str(fasta))
+    chroms = ref_outvcf.parse_fasta(str(fai))
+    ref_outvcf.generate_vcfheader(chroms, str(theirs), str(fasta))
+    assert _strip_filedate(ours.read_text()) \
+        == _strip_filedate(theirs.read_text())
+
+
+# --------------------------------------------------------------------------
+# Environment-gated empirical checks (run on hosts with the reference deps)
+# --------------------------------------------------------------------------
+
+def _random_window(rng, n_reads=6, L=120):
+    base = "".join(rng.choice(list("ACGT"), L))
+    out = [base]
+    for _ in range(n_reads):
+        b = list(base)
+        for _ in range(int(rng.integers(0, 8))):
+            i = int(rng.integers(0, len(b)))
+            op = int(rng.integers(0, 3))
+            if op == 0:
+                b[i] = str(rng.choice(list("ACGT")))
+            elif op == 1:
+                b.insert(i, str(rng.choice(list("ACGT"))))
+            elif len(b) > 1:
+                b.pop(i)
+        out.append("".join(b))
+    return out
+
+
+def test_pyspoa_algorithm_int_mapping():
+    """SURVEY §2.2's parity-critical knob: poa(seqs, 1) must be global NW.
+    Runs wherever pyspoa is installed; asserts pyspoa's MSA for algorithm 1
+    equals ops/poa.py's NW-global MSA on randomized windows."""
+    spoa = pytest.importorskip("spoa")
+    from svscope_tpu.ops.poa import poa
+    rng = np.random.default_rng(0)
+    for t in range(20):
+        seqs = _random_window(rng)
+        cons_ref, msa_ref = spoa.poa(seqs, 1)
+        cons_our, msa_our = poa(seqs, 1)
+        assert list(msa_ref) == list(msa_our), f"window {t}"
+        assert cons_ref == cons_our, f"window {t}"
+
+
+def test_reference_datamaker_parity(tmp_path):
+    """Full DataMaker diff through the real reference code path (pysam +
+    pyspoa): same BAMs, same window, identical sequence list and read IDs.
+    BAMs are written by this framework's own writer (valid BAM+BAI)."""
+    pysam = pytest.importorskip("pysam")
+    pytest.importorskip("spoa")
+    DataScanner = _import_ref("DataScanner")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + "/tests")
+    import synth
+    ref_fa, t_bam, n_bam, windows, refseq = synth.make_test_pair(
+        str(tmp_path))
+    pysam.index(t_bam)
+    pysam.index(n_bam)
+    from svscope_tpu.engine.datamaker import data_maker
+    from svscope_tpu.io.bam import BamReader
+    from svscope_tpu.io.fasta import FastaFile
+    rec = windows[0].split("\t")
+    td = "\t".join(rec[:3])
+    theirs = DataScanner.DataMaker(
+        td, ref_fa, [t_bam, n_bam], ["T_tumor", "N_normal"], offset=50,
+        mapQ=5)
+    ours = data_maker(td, FastaFile(ref_fa), [BamReader(t_bam),
+                                              BamReader(n_bam)],
+                      ["T_tumor", "N_normal"], offset=50, mapq=5)
+    assert list(theirs[0]) == list(ours.sequences)
+    assert list(theirs[1]) == list(ours.read_ids)
