@@ -40,6 +40,61 @@ from .decision import (call_margin, decision, dup_rescue,
 log = logging.getLogger("svscope_tpu.localgraph")
 
 
+# Device-latency watchdog (bench.py's sanity floor, applied to the
+# production engine): a tunneled/attached accelerator that has wedged or
+# degraded answers tiny round trips in seconds-minutes instead of
+# milliseconds.  Correctness is unaffected but throughput drops ~80x
+# (round 1 measured 522 s for 100 windows under a sick tunnel), so the
+# run is better served by the host CPU backend.
+DEVICE_PROBE_TIMEOUT_S = 120.0   # compile + first trip allowance
+DEVICE_PROBE_BUDGET_S = 2.0      # warm round trip; healthy is ~0.02-0.8 s
+
+
+def _probe_device_latency(timeout_s: float = DEVICE_PROBE_TIMEOUT_S) -> float:
+    """Warm round-trip seconds of a trivial jitted op on the default
+    backend, or +inf if the probe (including its compile) exceeds
+    timeout_s or fails.  Runs in a worker thread so a wedged device call
+    cannot hang the engine; an abandoned probe thread finishes (or not)
+    harmlessly in the background."""
+    from concurrent.futures import ThreadPoolExecutor, TimeoutError as FTE
+
+    def probe():
+        import jax
+        f = jax.jit(lambda x: x + 1)
+        x = np.ones((8, 128), np.float32)
+        np.asarray(f(x))             # compile + first trip, untimed
+        t0 = time.time()
+        np.asarray(f(x))
+        return time.time() - t0
+
+    ex = ThreadPoolExecutor(1)
+    try:
+        return ex.submit(probe).result(timeout=timeout_s)
+    except (FTE, Exception) as exc:     # noqa: BLE001 — any failure = sick
+        log.warning("device probe failed/timed out: %r", exc)
+        return float("inf")
+    finally:
+        ex.shutdown(wait=False)
+
+
+def device_latency_guard(budget_s: float = DEVICE_PROBE_BUDGET_S,
+                         probe=_probe_device_latency) -> bool:
+    """If the accelerator's warm round trip exceeds budget_s, repoint
+    jax_default_device at the host CPU for the rest of the process and
+    return True.  No-op (False) when already on CPU or healthy."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return False
+    dt = probe()
+    if dt <= budget_s:
+        return False
+    log.warning("device round trip %.2fs exceeds %.1fs budget; "
+                "falling back to the host CPU backend for this run",
+                dt, budget_s)
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    return True
+
+
 def open_bam(path: str):
     """Lazy native-backed reader (columns in C++, sequences decoded per
     fetch); falls back to the pure-Python reader."""
@@ -242,9 +297,12 @@ def run_local_graph(window_records: list[str], reference: str,
                     t_label: str = "tumor", readcutoff: int = 3,
                     hcutoff: int = 3, scutoff: float = 0.05,
                     device_poa: bool | str | None = None,
-                    threads: int | None = None) -> str:
+                    threads: int | None = None,
+                    device_guard: bool = True) -> str:
     """Batched localGraph (src/SVscope.py:118-183 equivalent)."""
     os.makedirs(savedir, exist_ok=True)
+    if device_guard:
+        device_latency_guard()
     out_path = os.path.join(savedir, raw_bed_name(t_ids, n_ids))
     done: set[str] = set()
     existing: list[str] = []

@@ -114,13 +114,15 @@ def _nw_kernel(a_ref, b_ref, la_ref, lb_ref, score_ref, m_ref, al_ref,
         al_ref[k, 0] = a_at[k]
 
 
-@functools.partial(jax.jit, static_argnames=("l_max",))
-def _nw_stats_pallas_padded(a_codes, b_codes, la, lb, l_max: int):
+@functools.partial(jax.jit, static_argnames=("l_max", "interpret"))
+def _nw_stats_pallas_padded(a_codes, b_codes, la, lb, l_max: int,
+                            interpret: bool = False):
     B = a_codes.shape[0]
     l1 = l_max + 1
     kernel = functools.partial(_nw_kernel, l_max=l_max)
     return pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(B // SUBBLOCK,),
         in_specs=[
             pl.BlockSpec((SUBBLOCK, l_max), lambda i: (i, 0),
@@ -154,9 +156,11 @@ def _nw_stats_pallas_padded(a_codes, b_codes, la, lb, l_max: int):
       la.astype(jnp.int32).reshape(-1, 1), lb.astype(jnp.int32).reshape(-1, 1))
 
 
-def nw_stats_pallas(a_codes, b_codes, la, lb, l_max: int):
+def nw_stats_pallas(a_codes, b_codes, la, lb, l_max: int,
+                    interpret: bool = False):
     """(scores, matches, align_lens) for padded pairs via the Pallas
-    kernel; the batch is padded up to a multiple of 8 pairs.
+    kernel; the batch is padded up to a multiple of 8 pairs.  interpret=True
+    runs the kernel body under the Pallas interpreter (CPU CI parity).
 
     Mosaic compile time grows sharply with l_max on the tunneled backend
     (L=128 ~1 min, cached on disk afterwards; L=512 pathological), so the
@@ -174,5 +178,5 @@ def nw_stats_pallas(a_codes, b_codes, la, lb, l_max: int):
     s, m, al = _nw_stats_pallas_padded(jnp.asarray(a_codes),
                                        jnp.asarray(b_codes),
                                        jnp.asarray(la), jnp.asarray(lb),
-                                       l_max)
+                                       l_max, interpret)
     return s[:B, 0], m[:B, 0], al[:B, 0]

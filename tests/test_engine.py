@@ -214,3 +214,27 @@ def test_decode_rows_round_trip():
         codes[0, :] = 4                      # an all-gap row decodes to ""
         assert decode_rows(codes) == [decode(codes[i]) for i in range(n)]
     assert decode_rows(np.zeros((0, 7), np.int8)) == []
+
+
+def test_device_latency_guard(monkeypatch):
+    """Watchdog: a slow warm round trip repoints the default device at the
+    host CPU; a healthy one (or an already-CPU backend) is a no-op."""
+    import jax
+    from svscope_tpu.engine import localgraph as lg
+    # already on CPU -> no-op regardless of probe
+    assert lg.device_latency_guard(budget_s=0.0, probe=lambda: 99.0) is False
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        assert lg.device_latency_guard(budget_s=1.0,
+                                       probe=lambda: 0.01) is False
+        assert lg.device_latency_guard(budget_s=1.0,
+                                       probe=lambda: 9.9) is True
+        assert jax.config.jax_default_device is not None
+    finally:
+        jax.config.update("jax_default_device", None)
+
+
+def test_device_probe_measures_on_cpu():
+    from svscope_tpu.engine.localgraph import _probe_device_latency
+    dt = _probe_device_latency(timeout_s=60.0)
+    assert 0.0 <= dt < 60.0

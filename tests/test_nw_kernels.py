@@ -25,8 +25,6 @@ def test_pick_misscore_tie_rule():
     assert pick_misscore([3, -5, 5]) == 3
 
 
-@pytest.mark.skipif(not ON_TPU, reason="XLA CPU compile is pathological "
-                    "for the scanned NW kernel")
 def test_nw_stats_batch_parity():
     from svscope_tpu.ops.nw_batch import misscore_batch
     rng = np.random.default_rng(0)
@@ -38,8 +36,8 @@ def test_nw_stats_batch_parity():
     assert (np.array(exp) == got).all()
 
 
-@pytest.mark.skipif(not ON_TPU, reason="Pallas kernel requires TPU")
 def test_nw_pallas_parity():
+    # interpreter mode on CPU, compiled kernel on TPU
     from svscope_tpu.ops.nw_pallas import nw_stats_pallas
     rng = np.random.default_rng(1)
     L = 128
@@ -53,15 +51,14 @@ def test_nw_pallas_parity():
         ac[k, :len(a)] = np.frombuffer(a.encode(), np.uint8)
         bc[k, :len(b)] = np.frombuffer(b.encode(), np.uint8)
         la[k], lb[k] = len(a), len(b)
-    s, m, al = [np.array(x) for x in nw_stats_pallas(ac, bc, la, lb, L)]
+    s, m, al = [np.array(x) for x in nw_stats_pallas(
+        ac, bc, la, lb, L, interpret=not ON_TPU)]
     for k, (a, b) in enumerate(pairs):
         assert nw_align_stats(a, b) == (s[k], m[k], al[k])
     with pytest.raises(ValueError):
         nw_stats_pallas(ac, bc, la, lb, 512)
 
 
-@pytest.mark.skipif(not ON_TPU, reason="XLA CPU compile is pathological "
-                    "for the scanned NW kernel")
 def test_edit_distance_matches_levenshtein():
     import Levenshtein
     from svscope_tpu.ops.nw_batch import (edit_distance_batch,
