@@ -298,11 +298,23 @@ def run_local_graph(window_records: list[str], reference: str,
                     hcutoff: int = 3, scutoff: float = 0.05,
                     device_poa: bool | str | None = None,
                     threads: int | None = None,
-                    device_guard: bool = True) -> str:
-    """Batched localGraph (src/SVscope.py:118-183 equivalent)."""
+                    device_guard: bool = True,
+                    data_parallel: bool | None = None) -> str:
+    """Batched localGraph (src/SVscope.py:118-183 equivalent).
+
+    data_parallel: shard the engine's batched device dispatches (EM, POA
+    rounds) over all attached chips via a ("dp",) mesh — the TPU
+    replacement for the reference's 6-process window pool.  None = auto
+    (on when >1 device is attached)."""
     os.makedirs(savedir, exist_ok=True)
     if device_guard:
         device_latency_guard()
+    from ..parallel.dataparallel import make_dp_mesh, set_data_mesh
+    import jax
+    if data_parallel or (data_parallel is None and len(jax.devices()) > 1):
+        set_data_mesh(make_dp_mesh())
+        log.info("localGraph: window batches data-parallel over %d devices",
+                 len(jax.devices()))
     out_path = os.path.join(savedir, raw_bed_name(t_ids, n_ids))
     done: set[str] = set()
     existing: list[str] = []

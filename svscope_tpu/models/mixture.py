@@ -519,10 +519,14 @@ def _raw_em_dispatch(feats: list[np.ndarray], max_c: int,
         kernel = _em_folded_batch_light if labels_only else _em_folded_batch
         # ONE batched host->device transfer: each separate jnp.asarray is
         # its own round trip on the tunneled device (~30 ms apiece; 7
-        # arrays cost ~0.25 s per chunk on the localGraph critical path)
+        # arrays cost ~0.25 s per chunk on the localGraph critical path).
+        # With a data mesh installed (parallel/dataparallel) the window
+        # axis is sharded across chips — windows are independent, so the
+        # folded EM runs SPMD with zero collectives.
+        from ..parallel.dataparallel import shard_batch
         np_dtype = np.dtype(jnp.dtype(dtype))
-        dev = jax.device_put((codes, hard_b, nks, ns, nfs,
-                              zps.astype(np_dtype), keys))
+        dev = shard_batch((codes, hard_b, nks, ns, nfs,
+                           zps.astype(np_dtype), keys))
         bics_b, gammas_b = kernel(*dev, nsteps, dtype)
         pending.append((idxs, nks, bics_b, gammas_b))
 

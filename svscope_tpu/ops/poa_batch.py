@@ -187,11 +187,13 @@ def _device_round(graphs, items, host_only, engine: str = "xla",
                     chars, preds, sinks, nn, seqs, lens, lb))
             else:
                 # one batched fetch: each separate np.array() is a full
-                # tunnel round trip (~22 ms floor on this setup)
-                an, asp, ke, _sc = jax.device_get(pdev.align_batch(
-                    jnp.asarray(chars), jnp.asarray(preds),
-                    jnp.asarray(sinks), jnp.asarray(nn), jnp.asarray(seqs),
-                    jnp.asarray(lens), lb))
+                # tunnel round trip (~22 ms floor on this setup).  The
+                # batch axis shards over the installed data mesh (windows
+                # independent -> SPMD, no collectives).
+                from ..parallel.dataparallel import shard_batch
+                dev = shard_batch((chars, preds, sinks, nn, seqs, lens))
+                an, asp, ke, _sc = jax.device_get(
+                    pdev.align_batch(*dev, lb))
             for bi, (w, seq, (c, p, s, n, nor)) in enumerate(chunk):
                 aln = pdev.unpack_alignment(an[bi], asp[bi], int(ke[bi]), nor)
                 graphs[w].fuse(aln, seq)

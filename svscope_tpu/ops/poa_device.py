@@ -110,7 +110,10 @@ def _align_one(chars, preds, is_sink, n_nodes, seq, seq_len, l_max: int):
     # best sink at column seq_len (rank order tie-break: first max)
     ends = jax.vmap(lambda r: r[seq_len])(H[1:])
     ends = jnp.where(is_sink & (jnp.arange(n_max) < n_nodes), ends, NEG)
-    best_i = jnp.argmax(ends) + 1
+    # explicit int32: argmax returns int64 under jax_enable_x64 and the
+    # traceback carry must keep one integer type across cond branches
+    best_i = (jnp.argmax(ends) + 1).astype(jnp.int32)
+    seq_len = jnp.asarray(seq_len, jnp.int32)
 
     # traceback
     out_len = n_max + l_max

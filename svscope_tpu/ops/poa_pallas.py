@@ -353,9 +353,31 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
     # rows gather unconditionally (duplicate matches collapse to slot 0)
     preds = np.where(preds < 0, preds[:, :, :1], preds)
     chain_only = bool(chainw.all())
-    dev = jax.device_put((chars.astype(np.int32),
-                          np.asarray(is_sink).astype(np.int32),
-                          preds, seqs_sh, lb, nn, chain_all))  # 1 transfer
-    an, asp, ke, sc = _align_batch_padded(*dev, N, l_max, interpret,
-                                          chain_only)
+    host = (chars.astype(np.int32), np.asarray(is_sink).astype(np.int32),
+            preds, seqs_sh, lb, nn, chain_all)
+    from ..parallel.dataparallel import data_mesh
+    mesh, axis = data_mesh()
+    if mesh is not None and Bp % (int(mesh.shape[axis]) * W) == 0:
+        # data-parallel across chips: each device runs the kernel on its
+        # local W-multiple slice of the window batch (shard_map — a Pallas
+        # grid cannot be auto-partitioned by sharded inputs alone)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:                      # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        specs = tuple(P(axis, *([None] * (a.ndim - 1))) for a in host)
+        dev = jax.device_put(host, tuple(NamedSharding(mesh, s)
+                                         for s in specs))
+        fn = shard_map(
+            functools.partial(_align_batch_padded, n_max=N, l_max=l_max,
+                              interpret=interpret, chain_only=chain_only),
+            mesh=mesh, in_specs=specs,
+            out_specs=tuple(P(axis, None) for _ in range(4)),
+            check_vma=False)   # pallas_call out_shapes carry no vma info
+        an, asp, ke, sc = fn(*dev)
+    else:
+        dev = jax.device_put(host)               # 1 transfer
+        an, asp, ke, sc = _align_batch_padded(*dev, N, l_max, interpret,
+                                              chain_only)
     return an[:B], asp[:B], ke[:B, 0], sc[:B, 0]

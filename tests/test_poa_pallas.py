@@ -123,3 +123,32 @@ def test_pallas_parity_compiled_large():
     packed, *arrs = _pack(graphs, seqs, 256, 256)
     _assert_parity(graphs, seqs, packed, *arrs, 256, interpret=False,
                    vs_xla=True)
+
+
+def test_pallas_dp_mesh_parity_interpret():
+    """align_batch_pallas with a ("dp",) data mesh installed shard_maps the
+    kernel over the mesh (interpret mode on CPU): outputs identical to the
+    unsharded call."""
+    from svscope_tpu.parallel import dataparallel as dpm
+    rng = np.random.default_rng(17)
+    B, N, L = 64, 16, 20
+    chars = rng.integers(65, 68, (B, N)).astype(np.uint8)
+    preds = np.full((B, N, 8), -1, np.int32)
+    preds[:, 1:, 0] = np.arange(N - 1)
+    # a few branch rows so both kernel paths run
+    preds[::3, 5, 1] = 2
+    sinks = np.zeros((B, N), bool)
+    sinks[:, -1] = True
+    nn = np.full(B, N, np.int32)
+    seqs = rng.integers(65, 68, (B, L)).astype(np.uint8)
+    lens = np.full(B, L, np.int32)
+    args = (chars, preds, sinks, nn, seqs, lens, L)
+    base = [np.asarray(x) for x in align_batch_pallas(*args, interpret=True)]
+    try:
+        dpm.set_data_mesh(dpm.make_dp_mesh(8))
+        out = [np.asarray(x)
+               for x in align_batch_pallas(*args, interpret=True)]
+    finally:
+        dpm.set_data_mesh(None)
+    for a, b in zip(base, out):
+        assert (a == b).all()
