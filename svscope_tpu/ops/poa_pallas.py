@@ -86,13 +86,10 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
     l1 = l_max + 1
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
     j1 = j[0:1]                                       # (1, l1)
-    jn = jax.lax.broadcasted_iota(jnp.int32, (W, n_max), 1)
     lb_v = jnp.stack([lb_ref[k, 0] for k in range(W)]).reshape(W, 1)
     nn_v = jnp.stack([nn_ref[k, 0] for k in range(W)]).reshape(W, 1)
     nn_max = jnp.max(nn_v)
     seq = seq_ref[:]                                  # (W, l1), lane0 junk
-    chars = chars_ref[:]                              # (W, n_max)
-    sinks = sinks_ref[:]
     decay = GAP * j
 
     h0 = jnp.where(j <= lb_v, GAP * j, NEG)
@@ -118,10 +115,11 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
     def row(i, carry):
         hprev, bval, brank = carry
         r = i - 1
-        ch = jnp.sum(chars * (jn == r).astype(jnp.int32), axis=1,
-                     keepdims=True, dtype=jnp.int32)  # (W, 1)
-        snk = jnp.sum(sinks * (jn == r).astype(jnp.int32), axis=1,
-                      keepdims=True, dtype=jnp.int32)
+        # per-row node char + sink flag: 2x8 scalar SMEM reads (the
+        # previous (W, n_max) masked-sum formulation cost O(W*N) vector
+        # work per row — O(W*N^2) over the kernel)
+        ch = jnp.stack([chars_ref[k, r] for k in range(W)]).reshape(W, 1)
+        snk = jnp.stack([sinks_ref[k, r] for k in range(W)]).reshape(W, 1)
         sub = jnp.where(seq == ch, MATCH, MISMATCH)   # (W, l1)
         jvalid = (j >= 1) & (j <= lb_v)
         node_ok = r < nn_v                            # (W, 1)
@@ -209,42 +207,54 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         jnp.int32(1), (nn_max + 1).astype(jnp.int32), row,
         (h0, bval0, brank0))
 
-    io_out = jax.lax.broadcasted_iota(jnp.int32, (1, out_len), 1)
+    # W-joint traceback: all 8 windows walk simultaneously — one
+    # while_loop of max(path_len) steps with (W, .) vector state instead
+    # of 8 sequential loops of ~N+L steps each (8x fewer iterations, and
+    # every masked update fills all sublanes).  Finished windows freeze
+    # via the `active` mask; their kv at freeze time is k_end.
+    io_out = jax.lax.broadcasted_iota(jnp.int32, (W, out_len), 1)
+    jp = jax.lax.broadcasted_iota(jnp.int32, (W, MAX_PREDS), 1)
     for w in range(W):
         sc_ref[w, 0] = _exw(bval, w)
-        lbw = lb_ref[w, 0]
-        i0 = _exw(brank, w) + 1
 
-        def tb_cond(st):
-            i, jj, k, _an, _as = st
-            return (jj > 0) & (k >= 0)
+    def tb_cond(st):
+        iv, jv, kv, _an, _as = st
+        return ((jv > 0) & (kv >= 0)).any()
 
-        def tb_body(st):
-            i, jj, k, an_row, as_row = st
-            rr = jnp.maximum(i - 1, 0)
-            drow = d_s[pl.ds(rr, 1), pl.ds(w, 1), :].reshape(1, l1)
-            d = _exs(drow, jj)
-            code = jnp.where(i == 0, 16, d)
-            is_left = code == 16
-            is_up = (code >= 8) & (code < 16)
-            p = jnp.where(is_left, 0, code & 7)
-            pr = _exs(preds_ref[w, rr, :].reshape(1, MAX_PREDS), p)
-            nexti = jnp.where(is_left, i, pr + 1)
-            nextj = jnp.where(is_up, jj, jj - 1)
-            an_row = jnp.where(io_out == k,
-                               jnp.where(is_left, -1, i - 1), an_row)
-            as_row = jnp.where(io_out == k,
-                               jnp.where(is_up, -1, jj - 1), as_row)
-            return (nexti, nextj, k - 1, an_row, as_row)
+    def tb_body(st):
+        iv, jv, kv, an, asx = st
+        active = (jv > 0) & (kv >= 0)                    # (W, 1)
+        rr = jnp.maximum(iv - 1, 0)                      # (W, 1)
+        drows = jnp.concatenate(
+            [d_s[pl.ds(_exw(rr, w), 1), pl.ds(w, 1), :].reshape(1, l1)
+             for w in range(W)], axis=0)                 # (W, l1)
+        d = jnp.sum(jnp.where(j == jv, drows, 0), axis=1, keepdims=True,
+                    dtype=jnp.int32)
+        code = jnp.where(iv == 0, 16, d)                 # (W, 1)
+        is_left = code == 16
+        is_up = (code >= 8) & (code < 16)
+        p = jnp.where(is_left, 0, code & 7)
+        prows = jnp.concatenate(
+            [preds_ref[w, _exw(rr, w), :].reshape(1, MAX_PREDS)
+             for w in range(W)], axis=0)                 # (W, P)
+        pr = jnp.sum(jnp.where(jp == p, prows, 0), axis=1, keepdims=True,
+                     dtype=jnp.int32)
+        write = active & (io_out == kv)
+        an = jnp.where(write, jnp.where(is_left, -1, iv - 1), an)
+        asx = jnp.where(write, jnp.where(is_up, -1, jv - 1), asx)
+        iv = jnp.where(active, jnp.where(is_left, iv, pr + 1), iv)
+        jv = jnp.where(active, jnp.where(is_up, jv, jv - 1), jv)
+        kv = jnp.where(active, kv - 1, kv)
+        return (iv, jv, kv, an, asx)
 
-        st0 = (i0, lbw, jnp.int32(out_len - 1),
-               jnp.full((1, out_len), -2, jnp.int32),
-               jnp.full((1, out_len), -2, jnp.int32))
-        _, _, k_end, an_row, as_row = jax.lax.while_loop(tb_cond, tb_body,
-                                                         st0)
-        an_ref[w:w + 1, :] = an_row
-        as_ref[w:w + 1, :] = as_row
-        ke_ref[w, 0] = k_end
+    st0 = (brank + 1, lb_v, jnp.full((W, 1), out_len - 1, jnp.int32),
+           jnp.full((W, out_len), -2, jnp.int32),
+           jnp.full((W, out_len), -2, jnp.int32))
+    _, _, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body, st0)
+    an_ref[:] = an
+    as_ref[:] = asx
+    for w in range(W):
+        ke_ref[w, 0] = _exw(kv, w)
 
 
 @functools.partial(jax.jit,
@@ -264,9 +274,9 @@ def _align_batch_padded(chars, sinks, preds, seqs_sh, lb, nn, chain,
         grid=grid,
         in_specs=[
             pl.BlockSpec((W, n_max), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),        # chars
+                         memory_space=pltpu.SMEM),        # chars (scalars)
             pl.BlockSpec((W, n_max), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),        # sinks
+                         memory_space=pltpu.SMEM),        # sinks (scalars)
             pl.BlockSpec((W, n_max, MAX_PREDS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),        # preds
             pl.BlockSpec((W, l1), lambda i: (i, 0),
