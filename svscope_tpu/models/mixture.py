@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from ..utils.jaxcfg import enable_cache
 
 enable_cache()
-from scipy.cluster.hierarchy import linkage
 
 ALPHA = 5          # alphabet size {A,T,C,G,-}
 MAX_K = 9          # reference max cluster count (src/ReadsCluster.py:221)
@@ -100,22 +99,117 @@ def _cut_tree_labels(Z: np.ndarray, n: int, k: int) -> np.ndarray:
     return out
 
 
+def _pairwise_euclidean(obs: np.ndarray) -> np.ndarray:
+    """(n, n) euclidean distances between observation rows (pdist square).
+
+    Accumulates the squared differences ONE FEATURE AT A TIME — scipy's
+    pdist C loop sums sequentially, and NumPy's pairwise summation differs
+    from it by ~1 ulp, which is enough to flip downstream tie comparisons
+    and reorder equal-height Ward merges.  Bitwise pdist parity is what
+    makes ward_linkage Z-identical to scipy (tested)."""
+    n, nf = obs.shape
+    s = np.zeros((n, n), np.float64)
+    for k in range(nf):
+        d = obs[:, k, None] - obs[None, :, k]
+        s += d * d
+    return np.sqrt(s)
+
+
+def ward_linkage(obs: np.ndarray) -> np.ndarray:
+    """scipy.cluster.hierarchy.linkage(obs, 'ward') replacement: NN-chain
+    agglomeration (Müllner 2011) over euclidean distances of observation
+    rows, with scipy's exact semantics — strict-< inner argmin (first
+    minimum wins, the chain predecessor keeps ties), Lance-Williams Ward
+    update in scipy's operand order, stable distance sort, union-find
+    relabeling.  Pure NumPy: drops the last compiled-scipy dependency from
+    the EM hot path (SURVEY §2.3 'scipy linkage retained').  Tested
+    Z-identical to scipy on randomized and tie-heavy inputs."""
+    n = obs.shape[0]
+    D = _pairwise_euclidean(np.asarray(obs, np.float64))
+    np.fill_diagonal(D, np.inf)
+    size = np.ones(n, np.int64)
+    alive = np.ones(n, bool)
+    Z = np.empty((n - 1, 4), np.float64)
+    chain: list[int] = []
+    for k in range(n - 1):
+        if not chain:
+            chain.append(int(np.flatnonzero(alive)[0]))
+        while True:
+            x = chain[-1]
+            row = np.where(alive, D[x], np.inf)
+            row[x] = np.inf
+            m = row.min()
+            if len(chain) > 1:
+                prev = chain[-2]
+                y = int(np.argmin(row)) if m < row[prev] else prev
+            else:
+                y = int(np.argmin(row))
+            if len(chain) > 1 and y == chain[-2]:
+                break
+            chain.append(y)
+        chain.pop()
+        chain.pop()
+        if x > y:
+            x, y = y, x
+        nx, ny = size[x], size[y]
+        d_xy = D[x, y]
+        Z[k] = (x, y, d_xy, nx + ny)
+        alive[x] = False
+        size[y] = nx + ny
+        # Ward Lance-Williams update, scipy's operand order:
+        # sqrt((ni+nx)*t*d_xi^2 + (ni+ny)*t*d_yi^2 - ni*t*d_xy^2)
+        upd = alive.copy()
+        upd[y] = False
+        ni = size[upd].astype(np.float64)
+        t = 1.0 / (nx + ny + ni)
+        d_xi = D[x, upd]
+        d_yi = D[y, upd]
+        new = np.sqrt((ni + nx) * t * d_xi * d_xi
+                      + (ni + ny) * t * d_yi * d_yi
+                      - ni * t * d_xy * d_xy)
+        D[y, upd] = new
+        D[upd, y] = new
+    order = np.argsort(Z[:, 2], kind="stable")
+    Z = Z[order]
+    # union-find relabel in sorted order (scipy's label())
+    parent = np.arange(2 * n - 1)
+    uf_size = np.ones(2 * n - 1, np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for i in range(n - 1):
+        xr, yr = find(int(Z[i, 0])), find(int(Z[i, 1]))
+        if xr > yr:
+            xr, yr = yr, xr
+        Z[i, 0], Z[i, 1] = xr, yr
+        Z[i, 3] = uf_size[xr] + uf_size[yr]
+        parent[xr] = parent[yr] = n + i
+        uf_size[n + i] = uf_size[xr] + uf_size[yr]
+    return Z
+
+
 def ward_init_labels(seqdatamx: np.ndarray, kmax: int,
                      sim: np.ndarray | None = None) -> np.ndarray:
     """(kmax, N) int labels in 0..K-1 for K = 1..kmax from Ward linkage.
 
-    scipy.linkage receives the (N, N) similarity matrix as raw observations,
-    exactly like the reference (src/ReadsCluster.py:242-243).  All K cuts
-    come from one incremental union-find pass over the merge list (identical
-    labels to per-K _cut_tree_labels; the per-K rebuild dominated the EM
-    host-prep profile)."""
+    ward_linkage receives the (N, N) similarity matrix as raw observations,
+    exactly like the reference feeds scipy (src/ReadsCluster.py:242-243).
+    All K cuts come from one incremental union-find pass over the merge
+    list (identical labels to per-K _cut_tree_labels; the per-K rebuild
+    dominated the EM host-prep profile)."""
     n = seqdatamx.shape[0]
     labels = np.zeros((kmax, n), np.int32)
     if n < 2:
         return labels
     if sim is None:
         sim = pairwise_identity(seqdatamx)
-    Z = linkage(sim, "ward")
+    Z = ward_linkage(sim)
     # leaf -> current cluster id, re-stamped eagerly over both sides of
     # each merge (total O(n log n)-ish for Ward trees); each cut's labels
     # come from one vectorized first-occurrence relabel (the per-leaf

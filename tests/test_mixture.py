@@ -282,3 +282,41 @@ def test_nan_bic_retry_single_window(monkeypatch):
     assert calls["n"] == 2
     assert out[0] == clean[0]
     assert (out[2] == clean[2]).all()
+
+
+def test_ward_linkage_matches_scipy_exactly():
+    """ward_linkage (pure NumPy NN-chain) vs scipy.linkage(X, 'ward'):
+    merge pairs, heights and sizes identical, on randomized float inputs
+    AND tie-heavy small-int inputs (where argmin tie-breaks matter)."""
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+    from svscope_tpu.models.mixture import ward_linkage
+    for t in range(40):
+        rng = np.random.default_rng(300 + t)
+        n = int(rng.integers(3, 60))
+        nf = int(rng.integers(2, 30))
+        if t % 2 == 0:
+            X = rng.random((n, nf))
+        else:                                  # tie-heavy: few distinct rows
+            arch = rng.integers(0, 3, (max(2, n // 4), nf))
+            X = arch[rng.integers(0, arch.shape[0], n)].astype(np.float64)
+        Z0 = scipy_linkage(X, "ward")
+        Z1 = ward_linkage(X)
+        assert (Z0[:, :2] == Z1[:, :2]).all(), t
+        assert (Z0[:, 3] == Z1[:, 3]).all(), t
+        np.testing.assert_allclose(Z1[:, 2], Z0[:, 2], rtol=1e-12, atol=0)
+
+
+def test_ward_linkage_on_similarity_matrices():
+    """The production input shape: pairwise_identity matrices of encoded
+    windows (integer ratios — heavy exact ties)."""
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+    from svscope_tpu.models.mixture import pairwise_identity, ward_linkage
+    for t in range(25):
+        rng = np.random.default_rng(600 + t)
+        n = int(rng.integers(4, 48))
+        nf = int(rng.integers(10, 60))
+        x = rng.integers(0, 5, (n, nf)).astype(np.int8)
+        sim = pairwise_identity(x)
+        Z0 = scipy_linkage(sim, "ward")
+        Z1 = ward_linkage(sim)
+        assert (Z0[:, :2] == Z1[:, :2]).all(), t
