@@ -24,6 +24,13 @@ logging.basicConfig(level=logging.INFO,
 log = logging.getLogger("svscope_tpu.cli")
 
 
+def _device_poa_arg(args):
+    """--device-poa -> engine arg: 'host' forces the C++ engine (False),
+    omitted (None) lets run_local_graph pick by measured device latency."""
+    v = getattr(args, "device_poa", None)
+    return False if v == "host" else v
+
+
 def _em_dtype(args):
     import jax.numpy as jnp
     if getattr(args, "device_dtype", "float32") == "float64":
@@ -152,7 +159,7 @@ def cmd_local_graph(args):
         args.Normalbam.split(","), args.TSampleID.split(","),
         args.NSampleID.split(","), args.savedir, offset=args.offset,
         mapq=args.mapQ, continue_run=args.Continue, em_dtype=_em_dtype(args),
-        device_poa=getattr(args, "device_poa", False),
+        device_poa=_device_poa_arg(args),
         threads=int(getattr(args, "thread", 8) or 8))
 
 
@@ -176,8 +183,8 @@ def cmd_local_graph_npz(args):
             if ":".join(w.record.strip().split("\t")[0:3]) not in done]
     for off in range(0, len(wins), 256):
         for rec in process_window_batch(wins[off:off + 256], em_dtype=dtype,
-                                        device_poa=getattr(args, "device_poa",
-                                                           False)):
+                                        device_poa=_device_poa_arg(args)
+                                        or False):
             rows.append("\t".join(str(x) for x in rec))
     rows.sort(key=lambda l: (l.split("\t")[0], int(l.split("\t")[1])))
     with open(out_path, "w") as f:
@@ -259,12 +266,13 @@ def cmd_adjust_vcf(args):
 def _common_bam_args(p, window_bed=True):
     if window_bed:
         p.add_argument("-w", "--windowBed", required=True)
-    p.add_argument("--device-poa", nargs="?", const="xla", default=False,
-                   choices=("xla", "pallas"),
-                   help="run POA alignment rounds on the TPU instead of the "
-                        "host C++ engine; 'xla' = scan aligner (default when "
-                        "given bare), 'pallas' = hand-written wavefront "
-                        "kernel")
+    p.add_argument("--device-poa", nargs="?", const="xla", default=None,
+                   choices=("xla", "pallas", "host"),
+                   help="POA alignment backend: 'xla' = scan aligner "
+                        "(default when given bare), 'pallas' = hand-written "
+                        "wavefront kernel, 'host' = C++ engine.  Omitted = "
+                        "auto: pallas on an attached-grade chip, host over "
+                        "a tunneled/remote one")
     p.add_argument("--oversize-sharded", action="store_true",
                    help="align windows beyond the 2048-node/2048 bp device "
                         "buckets (giant tandem repeats) via the sequence-"

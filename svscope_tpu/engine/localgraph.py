@@ -48,6 +48,14 @@ log = logging.getLogger("svscope_tpu.localgraph")
 # run is better served by the host CPU backend.
 DEVICE_PROBE_TIMEOUT_S = 120.0   # compile + first trip allowance
 DEVICE_PROBE_BUDGET_S = 2.0      # warm round trip; healthy is ~0.02-0.8 s
+# Warm round trip of a directly-attached chip (~10us-1ms).  The MSA build
+# is ~R sequential device rounds (one per read), so over a tunneled chip
+# (10-30 ms/round trip) the device POA path loses to host C++ on latency
+# alone regardless of kernel speed — docs/PERF.md quantifies this.  The
+# engine therefore defaults to the Pallas device path only when dispatch
+# is attached-grade.
+ATTACHED_LATENCY_S = 0.002
+LAST_PROBE_S: float | None = None   # most recent warm-round-trip probe
 
 
 def _probe_device_latency(timeout_s: float = DEVICE_PROBE_TIMEOUT_S) -> float:
@@ -82,10 +90,12 @@ def device_latency_guard(budget_s: float = DEVICE_PROBE_BUDGET_S,
     """If the accelerator's warm round trip exceeds budget_s, repoint
     jax_default_device at the host CPU for the rest of the process and
     return True.  No-op (False) when already on CPU or healthy."""
+    global LAST_PROBE_S
     import jax
     if jax.default_backend() == "cpu":
         return False
     dt = probe()
+    LAST_PROBE_S = dt
     if dt <= budget_s:
         return False
     log.warning("device round trip %.2fs exceeds %.1fs budget; "
@@ -93,6 +103,17 @@ def device_latency_guard(budget_s: float = DEVICE_PROBE_BUDGET_S,
                 dt, budget_s)
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
     return True
+
+
+def _auto_device_poa():
+    """Backend policy for device_poa=None: 'pallas' when the measured warm
+    round trip is attached-grade (the per-read MSA rounds then cost ~us of
+    dispatch each), host C++ otherwise (tunneled/degraded dispatch
+    dominates the device rounds — docs/PERF.md)."""
+    import jax
+    if jax.default_backend() == "cpu" or LAST_PROBE_S is None:
+        return False
+    return "pallas" if LAST_PROBE_S <= ATTACHED_LATENCY_S else False
 
 
 def open_bam(path: str):
@@ -331,9 +352,12 @@ def run_local_graph(window_records: list[str], reference: str,
     ref = FastaFile(reference)
     readers = [open_bam(p) for p in tumor_bams + normal_bams]
     labels = [f"{t}_tumor" for t in t_ids] + [f"{n}_normal" for n in n_ids]
-    # host C++ POA is the default engine; truthy = device rounds, with an
-    # optional engine string ('xla' | 'pallas') passed through to poa_batch
-    device_poa = device_poa or False
+    if device_poa is None:
+        device_poa = _auto_device_poa()
+        if device_poa:
+            log.info("localGraph: attached-grade device latency "
+                     "(%.3g s) — device POA engine %r selected",
+                     LAST_PROBE_S, device_poa)
     rows: list[list] = []
     t0 = time.time()
     make_data2 = lambda r: data_maker2(r, ref, readers, labels,

@@ -238,3 +238,17 @@ def test_device_probe_measures_on_cpu():
     from svscope_tpu.engine.localgraph import _probe_device_latency
     dt = _probe_device_latency(timeout_s=60.0)
     assert 0.0 <= dt < 60.0
+
+
+def test_auto_device_poa_policy(monkeypatch):
+    """device_poa=None policy: pallas only on an attached-grade chip."""
+    import jax
+    from svscope_tpu.engine import localgraph as lg
+    assert lg._auto_device_poa() is False        # cpu backend -> host
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(lg, "LAST_PROBE_S", None)
+    assert lg._auto_device_poa() is False        # never probed -> host
+    monkeypatch.setattr(lg, "LAST_PROBE_S", 0.0005)
+    assert lg._auto_device_poa() == "pallas"     # attached-grade
+    monkeypatch.setattr(lg, "LAST_PROBE_S", 0.025)
+    assert lg._auto_device_poa() is False        # tunneled -> host
