@@ -332,10 +332,11 @@ def run_local_graph(window_records: list[str], reference: str,
         device_latency_guard()
     from ..parallel.dataparallel import make_dp_mesh, set_data_mesh
     import jax
-    if data_parallel or (data_parallel is None and len(jax.devices()) > 1):
+    if data_parallel or (data_parallel is None
+                         and len(jax.local_devices()) > 1):
         set_data_mesh(make_dp_mesh())
         log.info("localGraph: window batches data-parallel over %d devices",
-                 len(jax.devices()))
+                 len(jax.local_devices()))
     out_path = os.path.join(savedir, raw_bed_name(t_ids, n_ids))
     done: set[str] = set()
     existing: list[str] = []

@@ -43,11 +43,18 @@ def data_mesh():
 
 
 def make_dp_mesh(n_devices: int | None = None, devices=None):
-    """Flat 1-D ("dp",) mesh over the given/first n/all devices."""
+    """Flat 1-D ("dp",) mesh over the given/first n/all LOCAL devices.
+
+    Local, not global: the engine's shard_batch commits host data with
+    jax.device_put, which requires every mesh device to be addressable by
+    this process — in a multi-process run each host owns its own dp mesh
+    over its chips while the window stream is sharded across hosts by
+    parallel/shard.py."""
     import jax
     from jax.sharding import Mesh
     if devices is None:
-        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+        devices = (jax.local_devices()[:n_devices] if n_devices
+                   else jax.local_devices())
     return Mesh(np.asarray(devices), ("dp",))
 
 

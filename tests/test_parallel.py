@@ -119,3 +119,41 @@ def test_poa_device_rounds_dp_mesh_identical():
     finally:
         dpm.set_data_mesh(None)
     assert out == base_out
+
+
+def test_real_jax_distributed_two_processes(tmp_path):
+    """REAL multi-process run: two OS processes joined through
+    jax.distributed.initialize (CPU backend, 2 local devices each —
+    4 global), each running its block-cyclic shard of the window stream
+    through the full engine with its own per-host dp mesh; host 0 merges.
+    Output must equal the single-process run byte-for-byte."""
+    import socket
+    import subprocess
+    import sys
+    d = str(tmp_path)
+    ref, tumor, normal, recs, _ = make_test_pair(d, seed=4)
+    wb = os.path.join(d, "windows.bed")
+    open(wb, "w").write("\n".join(recs) + "\n")
+    single_dir = os.path.join(d, "single")
+    from svscope_tpu.engine.localgraph import run_local_graph
+    single = run_local_graph(recs, ref, [tumor], [normal], ["S"], ["S"],
+                             single_dir, offset=50)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    dist_dir = os.path.join(d, "dist")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tools", "dist_worker.py")
+    env = dict(os.environ,
+               PYTHONPATH=repo + ":" + os.environ.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), "2", str(port), ref, tumor,
+         normal, wb, dist_dir], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    merged = os.path.join(
+        dist_dir, os.path.basename(single))
+    assert open(merged).read() == open(single).read()
