@@ -178,13 +178,19 @@ def cmd_local_graph_npz(args):
                 rows.append(line.rstrip("\n"))
                 done.add(":".join(line.split("\t")[0:3]))
     dtype = _em_dtype(args)
-    from .engine.localgraph import process_window_batch
+    from .engine.localgraph import (_auto_device_poa, device_latency_guard,
+                                    process_window_batch)
+    # same watchdog + backend policy as run_local_graph (the npz replay
+    # path dispatches the identical device EM/POA batches)
+    device_latency_guard()
+    device_poa = _device_poa_arg(args)
+    if device_poa is None:
+        device_poa = _auto_device_poa()
     wins = [w for w in load_window_data(args.savedir)
             if ":".join(w.record.strip().split("\t")[0:3]) not in done]
     for off in range(0, len(wins), 256):
         for rec in process_window_batch(wins[off:off + 256], em_dtype=dtype,
-                                        device_poa=_device_poa_arg(args)
-                                        or False):
+                                        device_poa=device_poa):
             rows.append("\t".join(str(x) for x in rec))
     rows.sort(key=lambda l: (l.split("\t")[0], int(l.split("\t")[1])))
     with open(out_path, "w") as f:

@@ -85,13 +85,23 @@ def _probe_device_latency(timeout_s: float = DEVICE_PROBE_TIMEOUT_S) -> float:
         ex.shutdown(wait=False)
 
 
+GUARD_TRIPPED = False   # process-lifetime: a wedged device stays demoted
+
+
 def device_latency_guard(budget_s: float = DEVICE_PROBE_BUDGET_S,
                          probe=_probe_device_latency) -> bool:
     """If the accelerator's warm round trip exceeds budget_s, repoint
     jax_default_device at the host CPU for the rest of the process and
-    return True.  No-op (False) when already on CPU or healthy."""
-    global LAST_PROBE_S
+    return True.  No-op (False) when already on CPU or healthy.
+
+    The decision is process-lifetime: jax_default_device does NOT change
+    jax.default_backend(), so without the GUARD_TRIPPED latch every later
+    call would re-probe the wedged device and block for the probe timeout
+    again (leaking one stuck thread per call)."""
+    global LAST_PROBE_S, GUARD_TRIPPED
     import jax
+    if GUARD_TRIPPED:
+        return True
     if jax.default_backend() == "cpu":
         return False
     dt = probe()
@@ -102,6 +112,7 @@ def device_latency_guard(budget_s: float = DEVICE_PROBE_BUDGET_S,
                 "falling back to the host CPU backend for this run",
                 dt, budget_s)
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    GUARD_TRIPPED = True
     return True
 
 
@@ -328,15 +339,22 @@ def run_local_graph(window_records: list[str], reference: str,
     replacement for the reference's 6-process window pool.  None = auto
     (on when >1 device is attached)."""
     os.makedirs(savedir, exist_ok=True)
-    if device_guard:
-        device_latency_guard()
+    fell_back = device_latency_guard() if device_guard else GUARD_TRIPPED
     from ..parallel.dataparallel import make_dp_mesh, set_data_mesh
     import jax
-    if data_parallel or (data_parallel is None
-                         and len(jax.local_devices()) > 1):
+    # The dp mesh places batches with explicit NamedSharding, which
+    # OVERRIDES the jax_default_device CPU fallback — so a tripped guard
+    # must also veto the mesh (and clear a stale one), or every dispatch
+    # would land back on the device the watchdog declared sick.
+    if fell_back:
+        set_data_mesh(None)
+    elif data_parallel or (data_parallel is None
+                           and len(jax.local_devices()) > 1):
         set_data_mesh(make_dp_mesh())
         log.info("localGraph: window batches data-parallel over %d devices",
                  len(jax.local_devices()))
+    else:
+        set_data_mesh(None)      # don't inherit a previous run's mesh
     out_path = os.path.join(savedir, raw_bed_name(t_ids, n_ids))
     done: set[str] = set()
     existing: list[str] = []

@@ -218,20 +218,47 @@ def test_decode_rows_round_trip():
 
 def test_device_latency_guard(monkeypatch):
     """Watchdog: a slow warm round trip repoints the default device at the
-    host CPU; a healthy one (or an already-CPU backend) is a no-op."""
+    host CPU; a healthy one (or an already-CPU backend) is a no-op; once
+    tripped it stays tripped (no re-probe of the wedged device)."""
     import jax
     from svscope_tpu.engine import localgraph as lg
-    # already on CPU -> no-op regardless of probe
-    assert lg.device_latency_guard(budget_s=0.0, probe=lambda: 99.0) is False
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(lg, "GUARD_TRIPPED", False)
     try:
+        # already on CPU -> no-op regardless of probe
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert lg.device_latency_guard(budget_s=0.0,
+                                       probe=lambda: 99.0) is False
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         assert lg.device_latency_guard(budget_s=1.0,
                                        probe=lambda: 0.01) is False
         assert lg.device_latency_guard(budget_s=1.0,
                                        probe=lambda: 9.9) is True
         assert jax.config.jax_default_device is not None
+        # latched: later calls must NOT probe again
+        def boom():
+            raise AssertionError("re-probed a wedged device")
+        assert lg.device_latency_guard(budget_s=1.0, probe=boom) is True
     finally:
         jax.config.update("jax_default_device", None)
+
+
+def test_guard_trip_vetoes_dp_mesh(tmp_path, monkeypatch):
+    """The dp mesh places batches with explicit NamedSharding, which would
+    override the watchdog's jax_default_device fallback — a tripped guard
+    must veto (and clear) the mesh for the run."""
+    from svscope_tpu.engine import localgraph as lg
+    from svscope_tpu.parallel import dataparallel as dpm
+    import synth
+    d = str(tmp_path)
+    ref, tumor, normal, recs, _ = synth.make_test_pair(d, seed=4)
+    monkeypatch.setattr(lg, "GUARD_TRIPPED", True)   # simulate wedged
+    dpm.set_data_mesh(dpm.make_dp_mesh(8))           # stale mesh leaks in
+    try:
+        lg.run_local_graph(recs[:1], ref, [tumor], [normal], ["S"], ["S"],
+                           os.path.join(d, "out"), offset=50)
+        assert dpm.data_mesh()[0] is None            # mesh cleared
+    finally:
+        dpm.set_data_mesh(None)
 
 
 def test_device_probe_measures_on_cpu():

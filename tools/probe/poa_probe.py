@@ -28,29 +28,15 @@ import numpy as np
 VARIANTS = {
     "full": [],
     "notb": [(
-        "    for w in range(W):\n        sc_ref[w, 0] = _exw(bval, w)\n"
-        "        lbw = lb_ref[w, 0]",
-        "    an_ref[:] = jnp.full((W, out_len), -2, jnp.int32)\n"
-        "    as_ref[:] = jnp.full((W, out_len), -2, jnp.int32)\n"
-        "    for w in range(W):\n        sc_ref[w, 0] = _exw(bval, w)\n"
-        "        ke_ref[w, 0] = out_len - 1\n"
-        "    return\n"
-        "    for w in range(W):\n        sc_ref[w, 0] = _exw(bval, w)\n"
-        "        lbw = lb_ref[w, 0]")],
+        "    _, _, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body, st0)",
+        "    _iv0, _jv0, kv, an, asx = st0")],
     "nodirs": [(
         "        h_s[pl.ds(i, 1)] = hrow.reshape(1, W, l1)\n"
         "        d_s[pl.ds(r, 1)] = dirrow.reshape(1, W, l1)",
         "        h_s[pl.ds(i, 1)] = hrow.reshape(1, W, l1)"),
         (
-        "    for w in range(W):\n        sc_ref[w, 0] = _exw(bval, w)\n"
-        "        lbw = lb_ref[w, 0]",
-        "    an_ref[:] = jnp.full((W, out_len), -2, jnp.int32)\n"
-        "    as_ref[:] = jnp.full((W, out_len), -2, jnp.int32)\n"
-        "    for w in range(W):\n        sc_ref[w, 0] = _exw(bval, w)\n"
-        "        ke_ref[w, 0] = out_len - 1\n"
-        "    return\n"
-        "    for w in range(W):\n        sc_ref[w, 0] = _exw(bval, w)\n"
-        "        lbw = lb_ref[w, 0]")],
+        "    _, _, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body, st0)",
+        "    _iv0, _jv0, kv, an, asx = st0")],
     "nopfx": [(
         "def _prefix_max(v):\n    s = 1\n    while s < v.shape[-1]:\n"
         "        v = jnp.maximum(v, _roll_right(v, s, NEG))\n        s *= 2\n"
@@ -58,15 +44,14 @@ VARIANTS = {
         "def _prefix_max(v):\n"
         "    return jnp.maximum(v, _roll_right(v, 1, NEG))")],
     "nochsk": [(
-        "        ch = jnp.sum(chars * (jn == r).astype(jnp.int32), axis=1,\n"
-        "                     keepdims=True, dtype=jnp.int32)  # (W, 1)\n"
-        "        snk = jnp.sum(sinks * (jn == r).astype(jnp.int32), axis=1,\n"
-        "                      keepdims=True, dtype=jnp.int32)",
+        "        ch = jnp.stack([chars_ref[k, r] for k in range(W)])"
+        ".reshape(W, 1)\n"
+        "        snk = jnp.stack([sinks_ref[k, r] for k in range(W)])"
+        ".reshape(W, 1)",
         "        ch = jnp.full((W, 1), 65, jnp.int32)\n"
         "        snk = jnp.ones((W, 1), jnp.int32)")],
     "chain": [],
 }
-
 
 def load_variant(name):
     src = open(os.path.join(ROOT, "svscope_tpu/ops/poa_pallas.py")).read()
