@@ -320,3 +320,29 @@ def test_ward_linkage_on_similarity_matrices():
         Z0 = scipy_linkage(sim, "ward")
         Z1 = ward_linkage(sim)
         assert (Z0[:, :2] == Z1[:, :2]).all(), t
+
+
+def test_nan_bic_retry_labels_only(monkeypatch):
+    """Retry policy through the labels_only dispatch (the localGraph
+    production path uses _em_folded_batch_light)."""
+    import svscope_tpu.models.mixture as mx
+    rng = np.random.default_rng(12)
+    feats = [_make_two_cluster(rng, n1=5, n2=5, nf=18) for _ in range(2)]
+    clean = mx.em_cluster_batch_dispatch(feats, labels_only=True,
+                                         dtype=jnp.float64)()
+    calls = {"n": 0}
+    real = mx._em_folded_batch_light
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        bics, labels = real(*args, **kw)
+        if calls["n"] == 1:
+            bics = jnp.full_like(bics, jnp.nan)
+        return bics, labels
+
+    monkeypatch.setattr(mx, "_em_folded_batch_light", flaky)
+    out = mx.em_cluster_batch_dispatch(feats, labels_only=True,
+                                       dtype=jnp.float64)()
+    assert calls["n"] == 2
+    for c, o in zip(clean, out):
+        assert o[0] == c[0] and (o[2] == c[2]).all()

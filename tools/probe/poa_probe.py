@@ -6,10 +6,10 @@ it as a standalone module, and times the roofline workload (256 windows x
 produce WRONG alignments — timing only.
 
   full     unmodified kernel
-  notb     traceback replaced by constant writes (DP + directions kept)
+  notb     traceback walk skipped (DP + direction stores kept)
   nodirs   traceback AND direction-plane stores removed (pure DP)
   nopfx    prefix-max replaced by one max step (timing only)
-  nochsk   per-row ch/snk masked O(N) sums replaced by constants
+  nochsk   per-row ch/snk SMEM scalar reads replaced by constants
   chain    all-chain graph batch (branch-free kernel specialization)
 
 Usage: python tools/probe/poa_probe.py <variant> [reps]
