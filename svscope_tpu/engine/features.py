@@ -127,7 +127,7 @@ def _background_stats_vectorized(table: AlignmentTable, windows,
             + "-" + win_df.end.astype(str))
     cov = np.full(len(win_df), np.nan)
     mqr = np.full(len(win_df), np.nan)
-    name_codes = pd.factorize(pd.Series(table.name))[0]
+    name_codes = table.name_codes()
     for chrom, wg in win_df.groupby("chrom", sort=False):
         if chrom not in table._chrom_slices:
             continue

@@ -301,6 +301,15 @@ class AlignmentTable:
     def __len__(self):
         return len(self.start)
 
+    def name_codes(self) -> np.ndarray:
+        """Factorized read-name codes (int64, same order as the rows),
+        built once and cached — the WGS background sweep re-factorized
+        ~10M object strings on every call otherwise."""
+        if getattr(self, "_name_codes", None) is None:
+            import pandas as pd
+            self._name_codes = pd.factorize(pd.Series(self.name))[0]
+        return self._name_codes
+
     def cig_arrays(self):
         """(blob, offsets): all cigar strings concatenated as bytes plus
         int64 offsets (n+1) — the zero-copy form native batch kernels take.
