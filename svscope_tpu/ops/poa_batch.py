@@ -59,7 +59,9 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
 
     use_device: False = host C++ engine (default); True/'xla' = batched XLA
     aligner rounds; 'pallas' = the hand-written Pallas wavefront kernel
-    (ops/poa_pallas) for the per-round alignment.
+    (ops/poa_pallas) for the per-round alignment; 'fused' = the whole MSA
+    build (rank + align + fuse, all rounds) as one on-device program
+    (ops/poa_fused) — 2 transfers per bucket chunk instead of 2 per read.
 
     oversize_mesh: optional jax Mesh — windows exceeding the largest
     (nodes, length) bucket align through the column-sharded wavefront
@@ -91,6 +93,9 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
             out[i] = _oversize_msa(seq_lists[i], oversize_mesh, oversize_axis)
         return out
     engine = use_device if isinstance(use_device, str) else "xla"
+    if engine == "fused":
+        from .poa_fused import fused_msa_batch
+        return fused_msa_batch(seq_lists)
     graphs = [NativePoaGraph() for _ in seq_lists]
     host_only = [False] * len(seq_lists)
     max_rounds = max((len(s) for s in seq_lists), default=0)

@@ -1,0 +1,435 @@
+"""Fully on-device POA MSA build: graph fusion as a jitted device program.
+
+The per-round device POA path (ops/poa_batch._device_round) pays one
+host<->device round trip per read: pack graphs, align the round's reads on
+the device, fetch alignments, fuse on the host in C++.  docs/PERF.md
+measured that on a tunneled chip this dispatch chain — not the DP kernel —
+dominates the device path (~25 ms per round trip, R rounds per window
+batch), which is why the engine's backend policy prefers host C++ except
+on attached-grade links.
+
+This module removes the round trips: the ENTIRE iterative MSA build —
+group-aware topological re-ranking, graph-vs-read NW alignment, and graph
+fusion, for every read round — runs as ONE jitted XLA program, vmapped
+over windows.  Host touches the device exactly twice per window batch:
+one device_put of the encoded reads and one device_get of the final graph
+(chars, groups, per-read node paths, consensus walk).  Everything the
+reference's hot loop #1 does per window (spoa's poa(seqs, 1),
+src/DataScanner.py:207,213 and src/DecisionMaker.py:160,171) happens on
+the accelerator with *windows* as the parallel axis.
+
+Semantics are identical to ops/poa.poa (the spoa-parity NumPy oracle) and
+the C++ engine — same scoring (m=5, n=-4, g=-8), the same group-aware
+Kahn order (aligned columns adjacent, min-group-id heap), the same
+fusion rules (first matching column member in insertion order), and the
+same consensus tie-breaks (first-max in-edge per slot order, first-max
+score node in rank order, earliest-created out-edge among (weight, score)
+maxima) — tested row-for-row in tests/test_poa_fused.py.
+
+Device-side data layout per window (node-id space, padded to `ncap` rows
+with row ncap-1 as a write sink for masked updates):
+
+  chars      (ncap,)    node base (ascii)
+  pred_node  (ncap, P)  in-edge tails in insertion order (-1 pad)
+  pred_w     (ncap, P)  in-edge weights
+  pred_t     (ncap, P)  in-edge creation stamps (out-edge insertion order)
+  aligned    (ncap, A)  other members of the node's MSA column (-1 pad)
+  group_min  (ncap,)    column id == smallest member node id
+  path       (R, L)     per (read, base) fused node id (MSA row source)
+
+Windows whose graph outgrows the bucket (nodes, in-degree > P, column
+arity > A, or a would-be cycle) raise a per-window overflow flag and are
+transparently re-run on the host C++ engine.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.jaxcfg import enable_cache
+
+enable_cache()
+
+from .poa_device import MAX_PREDS, _align_one
+
+log = logging.getLogger("svscope_tpu.poa_fused")
+
+ALN_SLOTS = 5            # max extra members of one MSA column (distinct chars)
+BIG = np.int32(1 << 30)
+R_LADDER = (4, 8, 16, 32, 64, 128, 256, 512)
+N_LADDER = (128, 256, 512, 1024, 2048, 3072)
+L_LADDER = (64, 128, 256, 512, 1024, 2048)
+B_LADDER = (8, 32, 128, 256)
+# cap on the alignment DP's (B, ncap+1, L+1) int32 H matrix
+H_BYTES_CAP = 1 << 30
+
+
+def _toposort(pred_node, group_min, n_nodes, ncap: int):
+    """Group-aware Kahn order, identical to PoaGraph.topo_order: aligned
+    columns emit adjacently (members in node-id order), groups selected by
+    smallest group id among the ready set.  Returns (order, rank, cyclic):
+    order = node ids in rank order (inactive ids trailing)."""
+    ids = jnp.arange(ncap, dtype=jnp.int32)
+    active = ids < n_nodes
+    pnc = jnp.clip(pred_node, 0, ncap - 1)
+    pg = group_min[pnc]
+    own = group_min[:, None]
+
+    def cond(st):
+        placed, _rank, _pos, it = st
+        return jnp.any(~placed) & (it < ncap)
+
+    def body(st):
+        placed, rank, pos, it = st
+        # a node is unblocked when every pred is placed or in its own group
+        pok = (pred_node < 0) | placed[pnc] | (pg == own)
+        node_ok = jnp.all(pok, axis=1).astype(jnp.int32)
+        grp_ok = jax.ops.segment_min(node_ok, group_min, num_segments=ncap)
+        selectable = active & ~placed & (grp_ok[group_min] > 0)
+        gsel = jnp.min(jnp.where(selectable, group_min, BIG))
+        chosen = selectable & (group_min == gsel)
+        idx = jnp.cumsum(chosen, dtype=jnp.int32) - 1
+        rank = jnp.where(chosen, pos + idx, rank)
+        pos = pos + jnp.sum(chosen, dtype=jnp.int32)
+        return placed | chosen, rank, pos, it + 1
+
+    placed0 = ~active
+    rank0 = jnp.full((ncap,), BIG, jnp.int32)
+    placed, rank, _pos, _it = jax.lax.while_loop(
+        cond, body, (placed0, rank0, jnp.int32(0), jnp.int32(0)))
+    cyclic = jnp.any(~placed)
+    order = jnp.argsort(rank).astype(jnp.int32)   # stable: id order on ties
+    return order, rank, cyclic
+
+
+def _ranked_view(chars, pred_node, n_nodes, order, rank, ncap: int):
+    """Rank-space packed graph for the aligner: chars/preds/sinks with
+    row == topological rank (ops/poa_device.pack_graph equivalent)."""
+    chars_r = chars[order]
+    pn = pred_node[order]
+    preds_r = jnp.where(pn >= 0, rank[jnp.clip(pn, 0, ncap - 1)], -1)
+    valid_rows = (jnp.arange(ncap, dtype=jnp.int32) < n_nodes)[:, None]
+    vals = ((pred_node >= 0) & valid_rows).astype(jnp.int32).ravel()
+    outdeg = jax.ops.segment_sum(
+        vals, jnp.clip(pred_node, 0, ncap - 1).ravel(), num_segments=ncap)
+    sink_r = (outdeg == 0)[order]
+    return chars_r, preds_r, sink_r
+
+
+def _build_one(seqs, lens, ncap: int, r_max: int, l_max: int):
+    """One window's full MSA build; vmapped over windows by _build_batch.
+
+    seqs (r_max, l_max) uint8 ascii (0 pad); lens (r_max,) int32.
+    """
+    P, A = MAX_PREDS, ALN_SLOTS
+    out_len = ncap + l_max
+    trash = ncap - 1          # masked updates write here
+    n_max = ncap - 1          # real node capacity
+    kk = jnp.arange(out_len, dtype=jnp.int32)
+
+    def fuse_step(k, carry):
+        (aln_nodes, aln_spos, order, seq, prev, chars, pred_node, pred_w,
+         pred_t, aligned, group_min, n_nodes, t_ctr, path_row,
+         overflow) = carry
+        rk = aln_nodes[k]
+        spos = aln_spos[k]
+        do = spos >= 0                      # skip pads (-2) and graph-gaps
+        sposc = jnp.clip(spos, 0, l_max - 1)
+        ch = seq[sposc]
+        node = jnp.where(rk >= 0, order[jnp.clip(rk, 0, ncap - 1)], -1)
+        nodec = jnp.clip(node, 0, ncap - 1)
+        # column candidates in the host's scan order: the node, then its
+        # aligned members in insertion order — first char match wins
+        cand = jnp.concatenate([node[None], aligned[nodec]])
+        cand = jnp.where((node >= 0) & do, cand, -1)
+        candc = jnp.clip(cand, 0, ncap - 1)
+        hit = (cand >= 0) & (chars[candc] == ch)
+        has = jnp.any(hit)
+        cur_old = candc[jnp.argmax(hit).astype(jnp.int32)]
+        new_needed = do & ~has
+        ovf_node = new_needed & (n_nodes >= n_max)
+        cur_new = jnp.minimum(n_nodes, n_max)
+        cur = jnp.where(has, cur_old, cur_new)
+        # ---- new node init ----
+        wrow = jnp.where(new_needed, cur_new, trash)
+        chars = chars.at[wrow].set(ch)
+        join = new_needed & (node >= 0)     # joins an existing column
+        aligned = aligned.at[wrow].set(jnp.where(join, cand[:A], -1))
+        group_min = group_min.at[wrow].set(
+            jnp.where(join, group_min[nodec], cur_new))
+        ovf = ovf_node
+        for ci in range(A + 1):             # append cur to each member
+            m = cand[ci]
+            mvalid = join & (m >= 0)
+            mc = jnp.clip(m, 0, ncap - 1)
+            nv = jnp.sum(aligned[mc] >= 0, dtype=jnp.int32)
+            ovf = ovf | (mvalid & (nv >= A))
+            arow = jnp.where(mvalid & (nv < A), mc, trash)
+            aligned = aligned.at[arow, jnp.clip(nv, 0, A - 1)].set(cur_new)
+        # ---- edge prev -> cur (increment weight or append slot) ----
+        add_e = do & (prev >= 0)
+        curc = jnp.clip(cur, 0, ncap - 1)
+        slots = pred_node[curc]
+        ehit = slots == prev
+        has_e = add_e & jnp.any(ehit)
+        eslot = jnp.clip(jnp.argmax(ehit).astype(jnp.int32), 0, P - 1)
+        nvalid = jnp.sum(slots >= 0, dtype=jnp.int32)
+        ovf_edge = add_e & ~has_e & (nvalid >= P)
+        wslot = jnp.where(has_e, eslot, jnp.clip(nvalid, 0, P - 1))
+        erow = jnp.where(add_e & ~ovf_edge, curc, trash)
+        pred_w = pred_w.at[erow, wslot].set(
+            jnp.where(has_e, pred_w[curc, eslot] + 1, 1))
+        pred_t = pred_t.at[erow, wslot].set(
+            jnp.where(has_e, pred_t[curc, eslot], t_ctr))
+        pred_node = pred_node.at[erow, wslot].set(prev)
+        t_ctr = t_ctr + (add_e & ~has_e).astype(jnp.int32)
+        # ---- bookkeeping ----
+        path_row = path_row.at[jnp.where(do, sposc, l_max)].set(cur)
+        n_nodes = n_nodes + (new_needed & ~ovf_node).astype(jnp.int32)
+        prev = jnp.where(do, cur, prev)
+        overflow = overflow | ovf | ovf_edge
+        return (aln_nodes, aln_spos, order, seq, prev, chars, pred_node,
+                pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
+                path_row, overflow)
+
+    def round_body(r, st):
+        (chars, pred_node, pred_w, pred_t, aligned, group_min, n_nodes,
+         t_ctr, overflow, path) = st
+        seq = seqs[r].astype(jnp.int32)
+        slen = lens[r]
+        order, rank, cyclic = _toposort(pred_node, group_min, n_nodes, ncap)
+        chars_r, preds_r, sink_r = _ranked_view(chars, pred_node, n_nodes,
+                                                order, rank, ncap)
+        empty = n_nodes == 0
+        slen_eff = jnp.where(empty, 0, slen)    # skip DP on an empty graph
+        aln_nodes, aln_spos, _k_end, _sc = _align_one(
+            chars_r, preds_r, sink_r, n_nodes, seq, slen_eff, l_max)
+        # empty graph: the "alignment" is all-gap — fusing it IS chain init
+        g0 = out_len - slen
+        use_gap = empty & (slen > 0)
+        aln_nodes = jnp.where(use_gap, jnp.where(kk >= g0, -1, -2), aln_nodes)
+        aln_spos = jnp.where(use_gap, jnp.where(kk >= g0, kk - g0, -2),
+                             aln_spos)
+        overflow = overflow | cyclic
+        path_row = jnp.full((l_max + 1,), -1, jnp.int32)
+        fused = jax.lax.fori_loop(
+            0, out_len, fuse_step,
+            (aln_nodes, aln_spos, order, seq, jnp.int32(-1), chars,
+             pred_node, pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
+             path_row, overflow))
+        (_an, _as, _o, _s, _prev, chars, pred_node, pred_w, pred_t, aligned,
+         group_min, n_nodes, t_ctr, path_row, overflow) = fused
+        path = path.at[r].set(path_row[:l_max])
+        return (chars, pred_node, pred_w, pred_t, aligned, group_min,
+                n_nodes, t_ctr, overflow, path)
+
+    st0 = (jnp.zeros((ncap,), jnp.int32),
+           jnp.full((ncap, P), -1, jnp.int32),
+           jnp.zeros((ncap, P), jnp.int32),
+           jnp.zeros((ncap, P), jnp.int32),
+           jnp.full((ncap, A), -1, jnp.int32),
+           jnp.arange(ncap, dtype=jnp.int32),
+           jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+           jnp.full((r_max, l_max), -1, jnp.int32))
+    (chars, pred_node, pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
+     overflow, path) = jax.lax.fori_loop(0, r_max, round_body, st0)
+    order, _rank, cyclic = _toposort(pred_node, group_min, n_nodes, ncap)
+    overflow = overflow | cyclic
+    cons = _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
+                           ncap)
+    back_buf, back_start, fwd_buf, fwd_cnt = cons
+    return (chars, group_min, n_nodes, path, order, back_buf, back_start,
+            fwd_buf, fwd_cnt, overflow)
+
+
+def _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
+                    ncap: int):
+    """Heaviest-bundle consensus node path (PoaGraph.consensus semantics):
+    scan scores in rank order, walk back over best in-edges from the
+    first max-score node, extend forward over heaviest out-edges."""
+    P = MAX_PREDS
+    ids = jnp.arange(ncap, dtype=jnp.int32)
+    valid_e = (pred_node >= 0) & (ids[:, None] < n_nodes)
+    pnc = jnp.clip(pred_node, 0, ncap - 1)
+
+    # ---- score/best_in scan in rank order ----
+    # lexicographic (weight, tail score) with first-max slot tie-break;
+    # weight <= n_seqs (<=2^10), score <= sum of path weights (<2^21)
+    def sc_step(carry, i):
+        score, best_in = carry
+        v = order[i]
+        vc = jnp.clip(v, 0, ncap - 1)
+        vmask = valid_e[vc]
+        sc = score[pnc[vc]]
+        key = jnp.where(vmask, pred_w[vc] * (1 << 21) + sc, -1)
+        b = jnp.argmax(key).astype(jnp.int32)
+        has = jnp.any(vmask)
+        score = score.at[vc].set(jnp.where(has, pred_w[vc, b] + sc[b], 0))
+        best_in = best_in.at[vc].set(jnp.where(has, pred_node[vc, b], -1))
+        return (score, best_in), None
+
+    (score, best_in), _ = jax.lax.scan(
+        sc_step, (jnp.zeros((ncap,), jnp.int32),
+                  jnp.full((ncap,), -1, jnp.int32)),
+        jnp.arange(ncap, dtype=jnp.int32))
+
+    # first max-score node in rank order
+    s_ord = jnp.where(jnp.arange(ncap) < n_nodes,
+                      score[jnp.clip(order, 0, ncap - 1)], -1)
+    vmax = order[jnp.argmax(s_ord).astype(jnp.int32)]
+    vmax = jnp.where(n_nodes > 0, vmax, -1)
+
+    # ---- per-node best out-edge (max (weight, head score), earliest
+    # creation among ties == Python max over insertion-ordered out_edges)
+    heads = jnp.broadcast_to(ids[:, None], (ncap, P)).ravel()
+    tails = pnc.ravel()
+    ve = valid_e.ravel()
+    key1 = jnp.where(ve, pred_w.ravel() * (1 << 21) + score[heads], -1)
+    mx = jax.ops.segment_max(key1, tails, num_segments=ncap)
+    match = ve & (key1 == mx[tails])
+    tcap = ncap * P
+    tmv = jnp.clip(pred_t.ravel(), 0, tcap - 1)
+    tkey = jnp.where(match, tmv, BIG)
+    tmn = jax.ops.segment_min(tkey, tails, num_segments=ncap)
+    time_head = jnp.full((tcap + 1,), -1, jnp.int32)
+    time_head = time_head.at[jnp.where(ve, tmv, tcap)].set(heads)
+    best_out = jnp.where(tmn < BIG, time_head[jnp.clip(tmn, 0, tcap)], -1)
+
+    # ---- backward walk (includes vmax), buffer filled right-to-left ----
+    def bcond(st):
+        v, _idx, _buf = st
+        return v >= 0
+
+    def bbody(st):
+        v, idx, buf = st
+        buf = buf.at[jnp.clip(idx, 0, ncap - 1)].set(v)
+        return best_in[jnp.clip(v, 0, ncap - 1)], idx - 1, buf
+
+    _v, idxf, back_buf = jax.lax.while_loop(
+        bcond, bbody, (vmax, jnp.int32(ncap - 1),
+                       jnp.full((ncap,), -1, jnp.int32)))
+    back_start = idxf + 1
+
+    # ---- forward extension from vmax ----
+    def fcond(st):
+        v, _cnt, _buf = st
+        return (v >= 0) & (best_out[jnp.clip(v, 0, ncap - 1)] >= 0)
+
+    def fbody(st):
+        v, cnt, buf = st
+        nv = best_out[jnp.clip(v, 0, ncap - 1)]
+        buf = buf.at[jnp.clip(cnt, 0, ncap - 1)].set(nv)
+        return nv, cnt + 1, buf
+
+    _v, fwd_cnt, fwd_buf = jax.lax.while_loop(
+        fcond, fbody, (vmax, jnp.int32(0),
+                       jnp.full((ncap,), -1, jnp.int32)))
+    return back_buf, back_start, fwd_buf, fwd_cnt
+
+
+@functools.partial(jax.jit, static_argnames=("ncap", "r_max", "l_max"))
+def _build_batch(seqs, lens, *, ncap: int, r_max: int, l_max: int):
+    f = functools.partial(_build_one, ncap=ncap, r_max=r_max, l_max=l_max)
+    return jax.vmap(f)(seqs, lens)
+
+
+def _bucket(x, ladder):
+    for b in ladder:
+        if x <= b:
+            return b
+    return None
+
+
+def _emit_window(chars, group_min, n_nodes, path, order, back_buf,
+                 back_start, fwd_buf, fwd_cnt, n_seqs: int):
+    """(consensus, msa_rows) from one fetched window state (NumPy)."""
+    n = int(n_nodes)
+    if n == 0:
+        return "", ["" for _ in range(n_seqs)]
+    order_n = order[:n]
+    gm_ord = group_min[order_n]
+    uniq, first = np.unique(gm_ord, return_index=True)
+    colrank = np.empty(len(uniq), np.int64)
+    colrank[np.argsort(first, kind="stable")] = np.arange(len(uniq))
+    col_of_gm = np.zeros(group_min.shape[0], np.int64)
+    col_of_gm[uniq] = colrank
+    ncol = len(uniq)
+    rows = []
+    for r in range(n_seqs):
+        rowbuf = np.full(ncol, ord("-"), np.uint8)
+        p = path[r]
+        nodes = p[p >= 0]
+        rowbuf[col_of_gm[group_min[nodes]]] = chars[nodes]
+        rows.append(rowbuf.tobytes().decode())
+    cons_nodes = np.concatenate([back_buf[int(back_start):],
+                                 fwd_buf[:int(fwd_cnt)]])
+    consensus = chars[cons_nodes].astype(np.uint8).tobytes().decode()
+    return consensus, rows
+
+
+def _estimate_nodes(seqs: list[str]) -> int:
+    """Bucket guess for the final node count: backbone plus headroom for
+    per-read novel bases.  Overflow falls back to the host engine, so the
+    guess only trades a rare re-run against padding waste."""
+    lmax = max(len(s) for s in seqs)
+    return lmax + max(32, lmax // 2) + 4 * len(seqs)
+
+
+def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
+    """spoa-equivalent poa(seqs, 1) over many windows with the whole MSA
+    build on-device: 2 transfers per (bucket, chunk) instead of 2 per read
+    round.  Returns [(consensus, msa_rows)] per window, identical to
+    ops.poa.poa / the host C++ engine (tested)."""
+    out: list = [None] * len(seq_lists)
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    fallback: list[int] = []
+    for i, seqs in enumerate(seq_lists):
+        if not seqs or all(len(s) == 0 for s in seqs):
+            out[i] = ("", ["" for _ in seqs])
+            continue
+        rb = _bucket(len(seqs), R_LADDER)
+        lb = _bucket(max(len(s) for s in seqs), L_LADDER)
+        nb = _bucket(_estimate_nodes(seqs), N_LADDER)
+        if rb is None or lb is None or nb is None:
+            fallback.append(i)
+            continue
+        groups.setdefault((rb, lb, nb), []).append(i)
+    for (rb, lb, nb), idxs in groups.items():
+        ncap = nb + 1
+        bmem = max(8, H_BYTES_CAP // ((ncap + 1) * (lb + 1) * 4))
+        bcap = min(max_batch or B_LADDER[-1], bmem)
+        for off in range(0, len(idxs), bcap):
+            chunk = idxs[off:off + bcap]
+            b_pad = _bucket(len(chunk), B_LADDER) or len(chunk)
+            b_pad = min(b_pad, bcap) if b_pad > len(chunk) else b_pad
+            seqs_a = np.zeros((b_pad, rb, lb), np.uint8)
+            lens_a = np.zeros((b_pad, rb), np.int32)
+            for bi, wi in enumerate(chunk):
+                for ri, s in enumerate(seq_lists[wi]):
+                    seqs_a[bi, ri, :len(s)] = np.frombuffer(
+                        s.encode(), np.uint8)
+                    lens_a[bi, ri] = len(s)
+            res = jax.device_get(_build_batch(
+                *jax.device_put((seqs_a, lens_a)),
+                ncap=ncap, r_max=rb, l_max=lb))
+            (chars, group_min, n_nodes, path, order, back_buf, back_start,
+             fwd_buf, fwd_cnt, overflow) = res
+            for bi, wi in enumerate(chunk):
+                if overflow[bi]:
+                    fallback.append(wi)
+                    continue
+                out[wi] = _emit_window(
+                    chars[bi], group_min[bi], n_nodes[bi], path[bi],
+                    order[bi], back_buf[bi], back_start[bi], fwd_buf[bi],
+                    fwd_cnt[bi], len(seq_lists[wi]))
+    if fallback:
+        log.info("fused POA: %d/%d windows overflowed the device bucket; "
+                 "host C++ fallback", len(fallback), len(seq_lists))
+        from ..native.poa import poa_native
+        for i in fallback:
+            out[i] = poa_native(seq_lists[i])
+    return out

@@ -1,0 +1,98 @@
+"""Parity tests for the fully on-device POA MSA build (ops/poa_fused).
+
+The fused path must be indistinguishable from ops.poa.poa — the repo's
+spoa-semantics oracle for the reference's poa(seqs, 1) calls
+(/root/reference/src/DataScanner.py:207,213; DecisionMaker.py:160,171) —
+because the engine's backend auto-selection may route any window through
+it.  Shapes are kept to one or two (R, L, N) buckets so the CPU compile
+cost stays bounded.
+"""
+import random
+
+import numpy as np
+import pytest
+
+from svscope_tpu.ops.poa import poa
+from svscope_tpu.ops.poa_fused import (ALN_SLOTS, _estimate_nodes,
+                                       fused_msa_batch)
+
+
+def mutate(rng, s, sub, ins, dele):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + sub:
+            out.append(rng.choice("ACGT"))
+        else:
+            out.append(ch)
+        if rng.random() < ins:
+            out.append(rng.choice("ACGT"))
+    return "".join(out)
+
+
+def window(rng, nreads, L, div):
+    """Tumor-like window: reference + reads, half carrying an insertion."""
+    ref = "".join(rng.choice("ACGT") for _ in range(L))
+    sv = "".join(rng.choice("ACGT") for _ in range(rng.randint(4, 12)))
+    reads = []
+    for i in range(nreads - 1):
+        base = ref[:L // 2] + sv + ref[L // 2:] if i % 2 == 0 else ref
+        reads.append(mutate(rng, base, div, div / 2, div / 2))
+    return [ref] + reads
+
+
+def test_edge_cases_exact():
+    windows = [
+        ["ACGT"],                      # single sequence
+        ["ACGT", "ACGT", "ACGT"],      # identical reads
+        ["ACGT", "", "AGT"],           # empty read mid-window
+        ["", "ACGTA"],                 # graph inits on the second read
+        ["A", "T"],                    # single-base divergence
+        ["ACGTACGT", "TGCATGCA"],      # fully divergent pair
+        [],                            # no reads at all
+        ["", ""],                      # only empty reads
+    ]
+    got = fused_msa_batch(windows)
+    for seqs, g in zip(windows, got):
+        assert g == poa(seqs, 1), seqs
+
+
+def test_randomized_windows_exact():
+    rng = random.Random(20260820)
+    windows = [window(rng, rng.randint(3, 8), rng.randint(10, 60),
+                      rng.choice([0.02, 0.1, 0.3]))
+               for _ in range(25)]
+    got = fused_msa_batch(windows)
+    for i, seqs in enumerate(windows):
+        exp = poa(seqs, 1)
+        assert got[i] == exp, f"window {i}: {seqs}"
+
+
+def test_msa_invariants():
+    rng = random.Random(7)
+    windows = [window(rng, 6, 50, 0.1) for _ in range(4)]
+    for seqs, (cons, rows) in zip(windows, fused_msa_batch(windows)):
+        assert len(rows) == len(seqs)
+        assert len({len(r) for r in rows}) == 1
+        for s, r in zip(seqs, rows):
+            assert r.replace("-", "") == s
+        assert len(cons) > 0
+
+
+def test_overflow_falls_back_to_host():
+    # force a node-bucket overflow: highly divergent long reads make the
+    # graph approach sum-of-lengths, far past the _estimate_nodes guess
+    rng = random.Random(3)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(60))
+            for _ in range(16)]
+    assert _estimate_nodes(seqs) < 16 * 60   # the estimate CAN overflow
+    got = fused_msa_batch([seqs])
+    assert got[0] == poa(seqs, 1)            # fallback keeps exactness
+
+
+def test_column_arity_bound():
+    # a column can hold at most one node per distinct base, so ALN_SLOTS
+    # covers the ACGT(+N) alphabet
+    assert ALN_SLOTS >= 4
