@@ -272,13 +272,13 @@ def cmd_adjust_vcf(args):
 def _common_bam_args(p, window_bed=True):
     if window_bed:
         p.add_argument("-w", "--windowBed", required=True)
-    p.add_argument("--device-poa", nargs="?", const="xla", default=None,
-                   choices=("xla", "pallas", "host"),
-                   help="POA alignment backend: 'xla' = scan aligner "
-                        "(default when given bare), 'pallas' = hand-written "
-                        "wavefront kernel, 'host' = C++ engine.  Omitted = "
-                        "auto: pallas on an attached-grade chip, host over "
-                        "a tunneled/remote one")
+    p.add_argument("--device-poa", nargs="?", const="fused", default=None,
+                   choices=("fused", "xla", "pallas", "host"),
+                   help="POA alignment backend: 'fused' = whole MSA build "
+                        "on device, one dispatch per window batch (default "
+                        "when given bare), 'xla'/'pallas' = per-read device "
+                        "alignment rounds with host fusion, 'host' = C++ "
+                        "engine.  Omitted = auto by measured device latency")
     p.add_argument("--oversize-sharded", action="store_true",
                    help="align windows beyond the 2048-node/2048 bp device "
                         "buckets (giant tandem repeats) via the sequence-"

@@ -95,7 +95,20 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
     engine = use_device if isinstance(use_device, str) else "xla"
     if engine == "fused":
         from .poa_fused import fused_msa_batch
-        return fused_msa_batch(seq_lists)
+        big = set()
+        if oversize_mesh is not None:
+            big = {i for i, s in enumerate(seq_lists)
+                   if s and max(map(len, s)) > L_LADDER[-1]}
+        if not big:
+            return fused_msa_batch(seq_lists)
+        out = [None] * len(seq_lists)
+        small_idx = [i for i in range(len(seq_lists)) if i not in big]
+        for i, r in zip(small_idx,
+                        fused_msa_batch([seq_lists[i] for i in small_idx])):
+            out[i] = r
+        for i in sorted(big):
+            out[i] = _oversize_msa(seq_lists[i], oversize_mesh, oversize_axis)
+        return out
     graphs = [NativePoaGraph() for _ in seq_lists]
     host_only = [False] * len(seq_lists)
     max_rounds = max((len(s) for s in seq_lists), default=0)

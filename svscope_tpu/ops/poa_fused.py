@@ -68,11 +68,14 @@ B_LADDER = (8, 32, 128, 256)
 H_BYTES_CAP = 1 << 30
 
 
-def _toposort(pred_node, group_min, n_nodes, ncap: int):
+def _toposort_ref(pred_node, group_min, n_nodes, ncap: int):
     """Group-aware Kahn order, identical to PoaGraph.topo_order: aligned
     columns emit adjacently (members in node-id order), groups selected by
     smallest group id among the ready set.  Returns (order, rank, cyclic):
-    order = node ids in rank order (inactive ids trailing)."""
+    order = node ids in rank order (inactive ids trailing).
+
+    Literal one-group-per-iteration transcription — the oracle for
+    _toposort's batched-prefix placement (see tests/test_poa_fused.py)."""
     ids = jnp.arange(ncap, dtype=jnp.int32)
     active = ids < n_nodes
     pnc = jnp.clip(pred_node, 0, ncap - 1)
@@ -106,6 +109,68 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
     return order, rank, cyclic
 
 
+def _toposort(pred_node, group_min, n_nodes, ncap: int):
+    """_toposort_ref's exact order with batched placement: each iteration
+    places the maximal gid-consecutive RUN of groups instead of one group.
+
+    Kahn with a min-gid heap picks group g* = min ready gid, then the next
+    pick is again the min ready gid, and so on.  Claim: the whole prefix
+    {unplaced groups g >= g* in gid order whose unplaced blockers all lie
+    in [g*, g)} is placed consecutively in gid order by sequential Kahn.
+    Proof sketch: the prefix contains EVERY unplaced group in the gid
+    interval, so each element's blockers are earlier prefix members; by
+    induction element i is ready at its turn and is the minimum (all
+    smaller unplaced gids are already placed; groups outside the prefix
+    are > it).  Any group newly readied mid-prefix has gid outside
+    [g*, prefix end] and cannot preempt.  A backbone chain therefore
+    places in ONE iteration (iterations ~ #order-violating back edges —
+    fusion-created nodes with edges into smaller-gid columns — instead of
+    #groups)."""
+    ids = jnp.arange(ncap, dtype=jnp.int32)
+    active = ids < n_nodes
+    is_grp = active & (group_min == ids)          # column founders
+    pnc = jnp.clip(pred_node, 0, ncap - 1)
+    tails_g = group_min[pnc]                      # (ncap, P) blocker gids
+    heads_g = jnp.broadcast_to(group_min[:, None], tails_g.shape)
+    ev_static = (pred_node >= 0) & active[:, None] & (tails_g != heads_g)
+    seg = heads_g.ravel()
+    iota = ids
+
+    def cond(st):
+        grp_placed, _rank, _pos, it, stuck = st
+        return jnp.any(is_grp & ~grp_placed) & ~stuck & (it < ncap)
+
+    def body(st):
+        grp_placed, rank, pos, it, stuck = st
+        ev = ev_static & ~grp_placed[tails_g]
+        bmin = jax.ops.segment_min(
+            jnp.where(ev, tails_g, BIG).ravel(), seg, num_segments=ncap)
+        bmax = jax.ops.segment_max(
+            jnp.where(ev, tails_g, -1).ravel(), seg, num_segments=ncap)
+        unplaced = is_grp & ~grp_placed
+        ready = unplaced & (bmax < 0)
+        gstar = jnp.min(jnp.where(ready, ids, BIG))
+        C = unplaced & ((bmax < 0) | ((bmin >= gstar) & (bmax < ids)))
+        transparent = ~unplaced | (ids < gstar)
+        chain_ok = jnp.cumprod((C | transparent).astype(jnp.int32),
+                               dtype=jnp.int32) > 0
+        place_g = unplaced & (ids >= gstar) & C & chain_ok
+        pn_mask = active & place_g[group_min]
+        key = jnp.where(pn_mask, group_min * ncap + ids, BIG)
+        perm = jnp.argsort(key).astype(jnp.int32)
+        cnt = jnp.sum(pn_mask, dtype=jnp.int32)
+        rank = rank.at[perm].set(
+            jnp.where(iota < cnt, pos + iota, rank[perm]))
+        return (grp_placed | place_g, rank, pos + cnt, it + 1, cnt == 0)
+
+    st0 = (jnp.zeros((ncap,), bool), jnp.full((ncap,), BIG, jnp.int32),
+           jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    grp_placed, rank, _pos, _it, _stuck = jax.lax.while_loop(cond, body, st0)
+    cyclic = jnp.any(is_grp & ~grp_placed)
+    order = jnp.argsort(rank).astype(jnp.int32)
+    return order, rank, cyclic
+
+
 def _ranked_view(chars, pred_node, n_nodes, order, rank, ncap: int):
     """Rank-space packed graph for the aligner: chars/preds/sinks with
     row == topological rank (ops/poa_device.pack_graph equivalent)."""
@@ -120,10 +185,11 @@ def _ranked_view(chars, pred_node, n_nodes, order, rank, ncap: int):
     return chars_r, preds_r, sink_r
 
 
-def _build_one(seqs, lens, ncap: int, r_max: int, l_max: int):
+def _build_one(seqs, lens, n_seqs, ncap: int, r_max: int, l_max: int):
     """One window's full MSA build; vmapped over windows by _build_batch.
 
-    seqs (r_max, l_max) uint8 ascii (0 pad); lens (r_max,) int32.
+    seqs (r_max, l_max) uint8 ascii (0 pad); lens (r_max,) int32;
+    n_seqs scalar int32 — rounds past it are skipped (dynamic trip count).
     """
     P, A = MAX_PREDS, ALN_SLOTS
     out_len = ncap + l_max
@@ -205,9 +271,12 @@ def _build_one(seqs, lens, ncap: int, r_max: int, l_max: int):
         chars_r, preds_r, sink_r = _ranked_view(chars, pred_node, n_nodes,
                                                 order, rank, ncap)
         empty = n_nodes == 0
-        slen_eff = jnp.where(empty, 0, slen)    # skip DP on an empty graph
-        aln_nodes, aln_spos, _k_end, _sc = _align_one(
-            chars_r, preds_r, sink_r, n_nodes, seq, slen_eff, l_max)
+        # empty read OR empty graph: run the DP over zero rows/columns so
+        # both the row loop and the traceback exit immediately
+        slen_eff = jnp.where(empty, 0, slen)
+        n_eff = jnp.where(slen > 0, n_nodes, 0)
+        aln_nodes, aln_spos, k_end, _sc = _align_one(
+            chars_r, preds_r, sink_r, n_eff, seq, slen_eff, l_max)
         # empty graph: the "alignment" is all-gap — fusing it IS chain init
         g0 = out_len - slen
         use_gap = empty & (slen > 0)
@@ -216,8 +285,12 @@ def _build_one(seqs, lens, ncap: int, r_max: int, l_max: int):
                              aln_spos)
         overflow = overflow | cyclic
         path_row = jnp.full((l_max + 1,), -1, jnp.int32)
+        # fuse only the real entries: the alignment is right-aligned with
+        # k_end one before the first entry (path length ~ nodes-on-path +
+        # read length, far below the ncap + l_max buffer bound)
+        k_start = jnp.where(use_gap, g0, k_end + 1)
         fused = jax.lax.fori_loop(
-            0, out_len, fuse_step,
+            k_start, jnp.int32(out_len), fuse_step,
             (aln_nodes, aln_spos, order, seq, jnp.int32(-1), chars,
              pred_node, pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
              path_row, overflow))
@@ -236,7 +309,8 @@ def _build_one(seqs, lens, ncap: int, r_max: int, l_max: int):
            jnp.int32(0), jnp.int32(0), jnp.bool_(False),
            jnp.full((r_max, l_max), -1, jnp.int32))
     (chars, pred_node, pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
-     overflow, path) = jax.lax.fori_loop(0, r_max, round_body, st0)
+     overflow, path) = jax.lax.fori_loop(
+        jnp.int32(0), jnp.asarray(n_seqs, jnp.int32), round_body, st0)
     order, _rank, cyclic = _toposort(pred_node, group_min, n_nodes, ncap)
     overflow = overflow | cyclic
     cons = _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
@@ -332,9 +406,9 @@ def _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
 
 
 @functools.partial(jax.jit, static_argnames=("ncap", "r_max", "l_max"))
-def _build_batch(seqs, lens, *, ncap: int, r_max: int, l_max: int):
+def _build_batch(seqs, lens, n_seqs, *, ncap: int, r_max: int, l_max: int):
     f = functools.partial(_build_one, ncap=ncap, r_max=r_max, l_max=l_max)
-    return jax.vmap(f)(seqs, lens)
+    return jax.vmap(f)(seqs, lens, n_seqs)
 
 
 def _bucket(x, ladder):
@@ -408,13 +482,15 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
             b_pad = min(b_pad, bcap) if b_pad > len(chunk) else b_pad
             seqs_a = np.zeros((b_pad, rb, lb), np.uint8)
             lens_a = np.zeros((b_pad, rb), np.int32)
+            nseq_a = np.zeros(b_pad, np.int32)
             for bi, wi in enumerate(chunk):
+                nseq_a[bi] = len(seq_lists[wi])
                 for ri, s in enumerate(seq_lists[wi]):
                     seqs_a[bi, ri, :len(s)] = np.frombuffer(
                         s.encode(), np.uint8)
                     lens_a[bi, ri] = len(s)
             res = jax.device_get(_build_batch(
-                *jax.device_put((seqs_a, lens_a)),
+                *jax.device_put((seqs_a, lens_a, nseq_a)),
                 ncap=ncap, r_max=rb, l_max=lb))
             (chars, group_min, n_nodes, path, order, back_buf, back_start,
              fwd_buf, fwd_cnt, overflow) = res
