@@ -489,8 +489,12 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
                     seqs_a[bi, ri, :len(s)] = np.frombuffer(
                         s.encode(), np.uint8)
                     lens_a[bi, ri] = len(s)
+            # one transfer; with a data mesh installed the window axis
+            # shards across chips (windows independent -> SPMD, the jitted
+            # build partitions along the batch axis with no collectives)
+            from ..parallel.dataparallel import shard_batch
             res = jax.device_get(_build_batch(
-                *jax.device_put((seqs_a, lens_a, nseq_a)),
+                *shard_batch((seqs_a, lens_a, nseq_a)),
                 ncap=ncap, r_max=rb, l_max=lb))
             (chars, group_min, n_nodes, path, order, back_buf, back_start,
              fwd_buf, fwd_cnt, overflow) = res
