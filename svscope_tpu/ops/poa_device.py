@@ -86,7 +86,7 @@ def _align_one(chars, preds, is_sink, n_nodes, seq, seq_len, l_max: int):
     H = jnp.full((n_max + 1, l_max + 1), NEG, jnp.int32)
     H = H.at[0].set(h0)
 
-    def row(i, H):
+    def row(H, i):
         node_ok = i < n_nodes
         pr = preds[i]                        # (P,)
         has_pred = pr >= 0
@@ -102,14 +102,14 @@ def _align_one(chars, preds, is_sink, n_nodes, seq, seq_len, l_max: int):
         base = jnp.concatenate([(maxpred[0] + GAP)[None], base1])
         hrow = jax.lax.associative_scan(jnp.maximum, base - decay) + decay
         hrow = jnp.where(node_ok, hrow, NEG)
-        return H.at[i + 1].set(hrow)
+        return H.at[i + 1].set(hrow), None
 
-    # dynamic trip count: rows past n_nodes keep their NEG init, which is
-    # exactly what the masked writes produced — so the loop stops at the
-    # window's real node count instead of the shape bucket (under vmap the
-    # batch runs to its max n_nodes)
-    H = jax.lax.fori_loop(jnp.int32(0), jnp.asarray(n_nodes, jnp.int32),
-                          row, H)
+    # STATIC trip count on purpose: a scan's carry updates at the shared
+    # loop index stay aliased in place under vmap, whereas a dynamic
+    # per-window fori lowers to a batched while whose done-mask select
+    # touches the full (n_max+1, l_max+1) H every iteration — measured
+    # far more expensive than the padded rows it avoids
+    H, _ = jax.lax.scan(row, H, jnp.arange(n_max, dtype=jnp.int32))
 
     # best sink at column seq_len (rank order tie-break: first max)
     ends = jax.vmap(lambda r: r[seq_len])(H[1:])

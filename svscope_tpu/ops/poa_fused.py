@@ -27,19 +27,29 @@ score node in rank order, earliest-created out-edge among (weight, score)
 maxima) — tested row-for-row in tests/test_poa_fused.py.
 
 Device-side data layout per window (node-id space, padded to `ncap` rows
-with row ncap-1 as a write sink for masked updates):
+with row ncap-1 as a write sink for masked updates; bases are 5-letter
+codes ACGTN -> 0..4, other characters fall back to the host engine):
 
-  chars      (ncap,)    node base (ascii)
+  chars      (ncap,)    node base code
   pred_node  (ncap, P)  in-edge tails in insertion order (-1 pad)
   pred_w     (ncap, P)  in-edge weights
   pred_t     (ncap, P)  in-edge creation stamps (out-edge insertion order)
-  aligned    (ncap, A)  other members of the node's MSA column (-1 pad)
+  group_char (ncap, 5)  per COLUMN id: the member node carrying each base
+                        (column members have distinct bases by
+                        construction, so matching is one gather)
   group_min  (ncap,)    column id == smallest member node id
   path       (R, L)     per (read, base) fused node id (MSA row source)
 
-Windows whose graph outgrows the bucket (nodes, in-degree > P, column
-arity > A, or a would-be cycle) raise a per-window overflow flag and are
-transparently re-run on the host C++ engine.
+Fusion of one alignment is fully VECTORIZED (no per-entry loop): within a
+round the fused nodes are pairwise distinct (an intra-column edge can
+never arise, so an alignment never revisits a column), hence matching,
+node allocation (first entry per (column, base) key creates, later ones
+reuse), edge appends (at most one new in-edge per node per round) and
+path writes are one-shot segment/cumsum ops plus unique-index scatters.
+
+Windows whose graph outgrows the bucket (nodes, in-degree > P, or a
+would-be cycle) raise a per-window overflow flag and are transparently
+re-run on the host C++ engine.
 """
 from __future__ import annotations
 
@@ -58,7 +68,11 @@ from .poa_device import MAX_PREDS, _align_one
 
 log = logging.getLogger("svscope_tpu.poa_fused")
 
-ALN_SLOTS = 5            # max extra members of one MSA column (distinct chars)
+ALPHA5 = 5               # base codes: ACGTN -> 0..4
+CODE_OF = np.full(256, 255, np.uint8)
+for _i, _b in enumerate(b"ACGTN"):
+    CODE_OF[_b] = _i
+DECODE = np.frombuffer(b"ACGTN", np.uint8)
 BIG = np.int32(1 << 30)
 R_LADDER = (4, 8, 16, 32, 64, 128, 256, 512)
 N_LADDER = (128, 256, 512, 1024, 2048, 3072)
@@ -109,6 +123,13 @@ def _toposort_ref(pred_node, group_min, n_nodes, ncap: int):
     return order, rank, cyclic
 
 
+import os as _os
+
+# profiling knob (tools/probe only): skip the canonical sort and use the
+# identity order — results are WRONG; isolates the sort's share of wall
+_ABLATE_SORT = bool(_os.environ.get("SVSCOPE_FUSED_NOSORT"))
+
+
 def _toposort(pred_node, group_min, n_nodes, ncap: int):
     """_toposort_ref's exact order with batched placement: each iteration
     places the maximal gid-consecutive RUN of groups instead of one group.
@@ -128,6 +149,9 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
     #groups)."""
     ids = jnp.arange(ncap, dtype=jnp.int32)
     active = ids < n_nodes
+    if _ABLATE_SORT:
+        rank = jnp.where(active, ids, BIG)
+        return ids, rank, jnp.bool_(False)
     is_grp = active & (group_min == ids)          # column founders
     pnc = jnp.clip(pred_node, 0, ncap - 1)
     tails_g = group_min[pnc]                      # (ncap, P) blocker gids
@@ -137,11 +161,11 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
     iota = ids
 
     def cond(st):
-        grp_placed, _rank, _pos, it, stuck = st
+        grp_placed, _itp, it, stuck = st
         return jnp.any(is_grp & ~grp_placed) & ~stuck & (it < ncap)
 
     def body(st):
-        grp_placed, rank, pos, it, stuck = st
+        grp_placed, it_placed, it, stuck = st
         ev = ev_static & ~grp_placed[tails_g]
         bmin = jax.ops.segment_min(
             jnp.where(ev, tails_g, BIG).ravel(), seg, num_segments=ncap)
@@ -156,18 +180,24 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
                                dtype=jnp.int32) > 0
         place_g = unplaced & (ids >= gstar) & C & chain_ok
         pn_mask = active & place_g[group_min]
-        key = jnp.where(pn_mask, group_min * ncap + ids, BIG)
-        perm = jnp.argsort(key).astype(jnp.int32)
+        # record only the placement ITERATION per node; the order is one
+        # stable argsort of (iteration, gid) after the loop — no O(n log n)
+        # work inside the loop
+        it_placed = jnp.where(pn_mask, it, it_placed)
         cnt = jnp.sum(pn_mask, dtype=jnp.int32)
-        rank = rank.at[perm].set(
-            jnp.where(iota < cnt, pos + iota, rank[perm]))
-        return (grp_placed | place_g, rank, pos + cnt, it + 1, cnt == 0)
+        return (grp_placed | place_g, it_placed, it + 1, cnt == 0)
 
     st0 = (jnp.zeros((ncap,), bool), jnp.full((ncap,), BIG, jnp.int32),
-           jnp.int32(0), jnp.int32(0), jnp.bool_(False))
-    grp_placed, rank, _pos, _it, _stuck = jax.lax.while_loop(cond, body, st0)
+           jnp.int32(0), jnp.bool_(False))
+    grp_placed, it_placed, _it, _stuck = jax.lax.while_loop(cond, body, st0)
     cyclic = jnp.any(is_grp & ~grp_placed)
-    order = jnp.argsort(rank).astype(jnp.int32)
+    # lexicographic (iteration, gid, id): iterations and gids fit one
+    # int32 key (ncap <= 3074 -> it*ncap+gid < 2^24); stable argsort
+    # breaks the remaining ties by node id — exactly members-in-id-order
+    placed_node = active & grp_placed[group_min] & (it_placed < BIG)
+    key = jnp.where(placed_node, it_placed * ncap + group_min, BIG)
+    order = jnp.argsort(key).astype(jnp.int32)
+    rank = jnp.zeros((ncap,), jnp.int32).at[order].set(iota)
     return order, rank, cyclic
 
 
@@ -188,82 +218,18 @@ def _ranked_view(chars, pred_node, n_nodes, order, rank, ncap: int):
 def _build_one(seqs, lens, n_seqs, ncap: int, r_max: int, l_max: int):
     """One window's full MSA build; vmapped over windows by _build_batch.
 
-    seqs (r_max, l_max) uint8 ascii (0 pad); lens (r_max,) int32;
+    seqs (r_max, l_max) uint8 base codes (0 pad); lens (r_max,) int32;
     n_seqs scalar int32 — rounds past it are skipped (dynamic trip count).
     """
-    P, A = MAX_PREDS, ALN_SLOTS
+    P = MAX_PREDS
     out_len = ncap + l_max
     trash = ncap - 1          # masked updates write here
     n_max = ncap - 1          # real node capacity
     kk = jnp.arange(out_len, dtype=jnp.int32)
-
-    def fuse_step(k, carry):
-        (aln_nodes, aln_spos, order, seq, prev, chars, pred_node, pred_w,
-         pred_t, aligned, group_min, n_nodes, t_ctr, path_row,
-         overflow) = carry
-        rk = aln_nodes[k]
-        spos = aln_spos[k]
-        do = spos >= 0                      # skip pads (-2) and graph-gaps
-        sposc = jnp.clip(spos, 0, l_max - 1)
-        ch = seq[sposc]
-        node = jnp.where(rk >= 0, order[jnp.clip(rk, 0, ncap - 1)], -1)
-        nodec = jnp.clip(node, 0, ncap - 1)
-        # column candidates in the host's scan order: the node, then its
-        # aligned members in insertion order — first char match wins
-        cand = jnp.concatenate([node[None], aligned[nodec]])
-        cand = jnp.where((node >= 0) & do, cand, -1)
-        candc = jnp.clip(cand, 0, ncap - 1)
-        hit = (cand >= 0) & (chars[candc] == ch)
-        has = jnp.any(hit)
-        cur_old = candc[jnp.argmax(hit).astype(jnp.int32)]
-        new_needed = do & ~has
-        ovf_node = new_needed & (n_nodes >= n_max)
-        cur_new = jnp.minimum(n_nodes, n_max)
-        cur = jnp.where(has, cur_old, cur_new)
-        # ---- new node init ----
-        wrow = jnp.where(new_needed, cur_new, trash)
-        chars = chars.at[wrow].set(ch)
-        join = new_needed & (node >= 0)     # joins an existing column
-        aligned = aligned.at[wrow].set(jnp.where(join, cand[:A], -1))
-        group_min = group_min.at[wrow].set(
-            jnp.where(join, group_min[nodec], cur_new))
-        ovf = ovf_node
-        for ci in range(A + 1):             # append cur to each member
-            m = cand[ci]
-            mvalid = join & (m >= 0)
-            mc = jnp.clip(m, 0, ncap - 1)
-            nv = jnp.sum(aligned[mc] >= 0, dtype=jnp.int32)
-            ovf = ovf | (mvalid & (nv >= A))
-            arow = jnp.where(mvalid & (nv < A), mc, trash)
-            aligned = aligned.at[arow, jnp.clip(nv, 0, A - 1)].set(cur_new)
-        # ---- edge prev -> cur (increment weight or append slot) ----
-        add_e = do & (prev >= 0)
-        curc = jnp.clip(cur, 0, ncap - 1)
-        slots = pred_node[curc]
-        ehit = slots == prev
-        has_e = add_e & jnp.any(ehit)
-        eslot = jnp.clip(jnp.argmax(ehit).astype(jnp.int32), 0, P - 1)
-        nvalid = jnp.sum(slots >= 0, dtype=jnp.int32)
-        ovf_edge = add_e & ~has_e & (nvalid >= P)
-        wslot = jnp.where(has_e, eslot, jnp.clip(nvalid, 0, P - 1))
-        erow = jnp.where(add_e & ~ovf_edge, curc, trash)
-        pred_w = pred_w.at[erow, wslot].set(
-            jnp.where(has_e, pred_w[curc, eslot] + 1, 1))
-        pred_t = pred_t.at[erow, wslot].set(
-            jnp.where(has_e, pred_t[curc, eslot], t_ctr))
-        pred_node = pred_node.at[erow, wslot].set(prev)
-        t_ctr = t_ctr + (add_e & ~has_e).astype(jnp.int32)
-        # ---- bookkeeping ----
-        path_row = path_row.at[jnp.where(do, sposc, l_max)].set(cur)
-        n_nodes = n_nodes + (new_needed & ~ovf_node).astype(jnp.int32)
-        prev = jnp.where(do, cur, prev)
-        overflow = overflow | ovf | ovf_edge
-        return (aln_nodes, aln_spos, order, seq, prev, chars, pred_node,
-                pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
-                path_row, overflow)
+    KEYCAP = ncap * ALPHA5
 
     def round_body(r, st):
-        (chars, pred_node, pred_w, pred_t, aligned, group_min, n_nodes,
+        (chars, pred_node, pred_w, pred_t, group_char, group_min, n_nodes,
          t_ctr, overflow, path) = st
         seq = seqs[r].astype(jnp.int32)
         slen = lens[r]
@@ -275,7 +241,7 @@ def _build_one(seqs, lens, n_seqs, ncap: int, r_max: int, l_max: int):
         # both the row loop and the traceback exit immediately
         slen_eff = jnp.where(empty, 0, slen)
         n_eff = jnp.where(slen > 0, n_nodes, 0)
-        aln_nodes, aln_spos, k_end, _sc = _align_one(
+        aln_nodes, aln_spos, _k_end, _sc = _align_one(
             chars_r, preds_r, sink_r, n_eff, seq, slen_eff, l_max)
         # empty graph: the "alignment" is all-gap — fusing it IS chain init
         g0 = out_len - slen
@@ -284,32 +250,99 @@ def _build_one(seqs, lens, n_seqs, ncap: int, r_max: int, l_max: int):
         aln_spos = jnp.where(use_gap, jnp.where(kk >= g0, kk - g0, -2),
                              aln_spos)
         overflow = overflow | cyclic
+
+        # ---- vectorized fusion of the whole alignment ----
+        valid = aln_spos >= 0               # real base entries (pads -2,
+        sposc = jnp.clip(aln_spos, 0, l_max - 1)      # graph-gaps -1 skip)
+        c5 = seq[sposc]                     # (out_len,) base codes
+        node = jnp.where(valid & (aln_nodes >= 0),
+                         order[jnp.clip(aln_nodes, 0, ncap - 1)], -1)
+        gid = group_min[jnp.clip(node, 0, ncap - 1)]
+        # match = the column member carrying this base (distinct bases per
+        # column => membership is all that matters, not scan order)
+        pre = jnp.where(node >= 0,
+                        group_char[jnp.clip(gid, 0, ncap - 1), c5], -1)
+        matched = valid & (pre >= 0)
+        isnew = valid & ~matched
+        join = isnew & (node >= 0)          # joins an existing column
+        # first entry per (column, base) key creates the node; later
+        # entries of the same key reuse it (the host scan's behavior when
+        # a same-round node already joined the column)
+        keyc = jnp.where(join, gid * ALPHA5 + c5, KEYCAP)
+        firstk = jax.ops.segment_min(jnp.where(join, kk, BIG), keyc,
+                                     num_segments=KEYCAP + 1)
+        is_first = join & (firstk[keyc] == kk)
+        creator = is_first | (isnew & (node < 0))
+        new_idx = jnp.cumsum(creator, dtype=jnp.int32) - 1
+        n_new = jnp.sum(creator, dtype=jnp.int32)
+        ovf_n = n_nodes + n_new > n_max
+        cur_created = jnp.clip(n_nodes + new_idx, 0, trash)
+        id_of_key = jnp.full((KEYCAP + 1,), trash, jnp.int32)
+        id_of_key = id_of_key.at[jnp.where(is_first, keyc, KEYCAP)].set(
+            cur_created, unique_indices=True)
+        cur = jnp.where(matched, pre,
+                        jnp.where(creator, cur_created, id_of_key[keyc]))
+        cur = jnp.where(valid, cur, -1)
+        # prev chain: the previous valid entry's node
+        lastk = jax.lax.cummax(jnp.where(valid, kk, -1))
+        lastk = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                 lastk[:-1]])
+        prev = jnp.where(lastk >= 0,
+                         cur[jnp.clip(lastk, 0, out_len - 1)], -1)
+        add_e = valid & (prev >= 0)
+        curc = jnp.clip(cur, 0, ncap - 1)
+        # edge prev->cur: all fused nodes of one round are distinct, so at
+        # most ONE new in-edge lands per node — scatter rows are unique
+        slots = pred_node[curc]             # (out_len, P) pre-round rows
+        ehit = slots == prev[:, None]
+        has_e = add_e & jnp.any(ehit, axis=1)
+        eslot = jnp.argmax(ehit, axis=1).astype(jnp.int32)[:, None]
+        nvalid = jnp.sum(slots >= 0, axis=1, dtype=jnp.int32)
+        ovf_e = add_e & ~has_e & (nvalid >= P)
+        wslot = jnp.where(has_e, eslot[:, 0], jnp.clip(nvalid, 0, P - 1))
+        newe = add_e & ~has_e & ~ovf_e
+        ew_old = jnp.take_along_axis(pred_w[curc], eslot, 1)[:, 0]
+        et_old = jnp.take_along_axis(pred_t[curc], eslot, 1)[:, 0]
+        wval = jnp.where(has_e, ew_old + 1, 1)
+        tval = jnp.where(has_e, et_old,
+                         t_ctr + jnp.cumsum(newe, dtype=jnp.int32) - 1)
+        # unique_indices: real rows are pairwise distinct (distinct cur
+        # per round); masked entries all collapse onto the trash row,
+        # whose content is never read — racing writes there are harmless
+        erow = jnp.where(add_e & ~ovf_e, curc, trash)
+        pred_node = pred_node.at[erow, wslot].set(
+            jnp.where(add_e, prev, -1), unique_indices=True)
+        pred_w = pred_w.at[erow, wslot].set(wval, unique_indices=True)
+        pred_t = pred_t.at[erow, wslot].set(tval, unique_indices=True)
+        t_ctr = t_ctr + jnp.sum(newe, dtype=jnp.int32)
+        # new node init (unique ids; (column, base) keys unique)
+        nrow = jnp.where(creator, cur_created, trash)
+        chars = chars.at[nrow].set(c5, unique_indices=True)
+        new_gid = jnp.where(node >= 0, gid, cur_created)
+        group_min = group_min.at[nrow].set(new_gid, unique_indices=True)
+        gcrow = jnp.where(creator, jnp.clip(new_gid, 0, ncap - 1), trash)
+        group_char = group_char.at[gcrow, c5].set(cur_created,
+                                                  unique_indices=True)
+        # bookkeeping (alignment seq positions are unique)
         path_row = jnp.full((l_max + 1,), -1, jnp.int32)
-        # fuse only the real entries: the alignment is right-aligned with
-        # k_end one before the first entry (path length ~ nodes-on-path +
-        # read length, far below the ncap + l_max buffer bound)
-        k_start = jnp.where(use_gap, g0, k_end + 1)
-        fused = jax.lax.fori_loop(
-            k_start, jnp.int32(out_len), fuse_step,
-            (aln_nodes, aln_spos, order, seq, jnp.int32(-1), chars,
-             pred_node, pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
-             path_row, overflow))
-        (_an, _as, _o, _s, _prev, chars, pred_node, pred_w, pred_t, aligned,
-         group_min, n_nodes, t_ctr, path_row, overflow) = fused
+        path_row = path_row.at[jnp.where(valid, sposc, l_max)].set(
+            cur, unique_indices=True)
         path = path.at[r].set(path_row[:l_max])
-        return (chars, pred_node, pred_w, pred_t, aligned, group_min,
+        n_nodes = jnp.minimum(n_nodes + n_new, jnp.int32(n_max))
+        overflow = overflow | ovf_n | jnp.any(ovf_e)
+        return (chars, pred_node, pred_w, pred_t, group_char, group_min,
                 n_nodes, t_ctr, overflow, path)
 
     st0 = (jnp.zeros((ncap,), jnp.int32),
            jnp.full((ncap, P), -1, jnp.int32),
            jnp.zeros((ncap, P), jnp.int32),
            jnp.zeros((ncap, P), jnp.int32),
-           jnp.full((ncap, A), -1, jnp.int32),
+           jnp.full((ncap, ALPHA5), -1, jnp.int32),
            jnp.arange(ncap, dtype=jnp.int32),
            jnp.int32(0), jnp.int32(0), jnp.bool_(False),
            jnp.full((r_max, l_max), -1, jnp.int32))
-    (chars, pred_node, pred_w, pred_t, aligned, group_min, n_nodes, t_ctr,
-     overflow, path) = jax.lax.fori_loop(
+    (chars, pred_node, pred_w, pred_t, group_char, group_min, n_nodes,
+     t_ctr, overflow, path) = jax.lax.fori_loop(
         jnp.int32(0), jnp.asarray(n_seqs, jnp.int32), round_body, st0)
     order, _rank, cyclic = _toposort(pred_node, group_min, n_nodes, ncap)
     overflow = overflow | cyclic
@@ -375,8 +408,8 @@ def _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
 
     # ---- backward walk (includes vmax), buffer filled right-to-left ----
     def bcond(st):
-        v, _idx, _buf = st
-        return v >= 0
+        v, idx, _buf = st
+        return (v >= 0) & (idx >= 0)     # idx bound: cycle safety net
 
     def bbody(st):
         v, idx, buf = st
@@ -386,12 +419,13 @@ def _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
     _v, idxf, back_buf = jax.lax.while_loop(
         bcond, bbody, (vmax, jnp.int32(ncap - 1),
                        jnp.full((ncap,), -1, jnp.int32)))
-    back_start = idxf + 1
+    back_start = jnp.maximum(idxf + 1, 0)
 
     # ---- forward extension from vmax ----
     def fcond(st):
-        v, _cnt, _buf = st
-        return (v >= 0) & (best_out[jnp.clip(v, 0, ncap - 1)] >= 0)
+        v, cnt, _buf = st
+        return ((v >= 0) & (cnt < ncap)     # cnt bound: cycle safety net
+                & (best_out[jnp.clip(v, 0, ncap - 1)] >= 0))
 
     def fbody(st):
         v, cnt, buf = st
@@ -437,11 +471,11 @@ def _emit_window(chars, group_min, n_nodes, path, order, back_buf,
         rowbuf = np.full(ncol, ord("-"), np.uint8)
         p = path[r]
         nodes = p[p >= 0]
-        rowbuf[col_of_gm[group_min[nodes]]] = chars[nodes]
+        rowbuf[col_of_gm[group_min[nodes]]] = DECODE[chars[nodes]]
         rows.append(rowbuf.tobytes().decode())
     cons_nodes = np.concatenate([back_buf[int(back_start):],
                                  fwd_buf[:int(fwd_cnt)]])
-    consensus = chars[cons_nodes].astype(np.uint8).tobytes().decode()
+    consensus = DECODE[chars[cons_nodes]].tobytes().decode()
     return consensus, rows
 
 
@@ -461,6 +495,7 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
     out: list = [None] * len(seq_lists)
     groups: dict[tuple[int, int, int], list[int]] = {}
     fallback: list[int] = []
+    encoded: dict[int, list[np.ndarray]] = {}
     for i, seqs in enumerate(seq_lists):
         if not seqs or all(len(s) == 0 for s in seqs):
             out[i] = ("", ["" for _ in seqs])
@@ -471,6 +506,11 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
         if rb is None or lb is None or nb is None:
             fallback.append(i)
             continue
+        codes = [CODE_OF[np.frombuffer(s.encode(), np.uint8)] for s in seqs]
+        if any((c == 255).any() for c in codes):    # non-ACGTN base
+            fallback.append(i)
+            continue
+        encoded[i] = codes
         groups.setdefault((rb, lb, nb), []).append(i)
     for (rb, lb, nb), idxs in groups.items():
         ncap = nb + 1
@@ -485,10 +525,9 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
             nseq_a = np.zeros(b_pad, np.int32)
             for bi, wi in enumerate(chunk):
                 nseq_a[bi] = len(seq_lists[wi])
-                for ri, s in enumerate(seq_lists[wi]):
-                    seqs_a[bi, ri, :len(s)] = np.frombuffer(
-                        s.encode(), np.uint8)
-                    lens_a[bi, ri] = len(s)
+                for ri, c in enumerate(encoded[wi]):
+                    seqs_a[bi, ri, :len(c)] = c
+                    lens_a[bi, ri] = len(c)
             # one transfer; with a data mesh installed the window axis
             # shards across chips (windows independent -> SPMD, the jitted
             # build partitions along the batch axis with no collectives)
