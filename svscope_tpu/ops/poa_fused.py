@@ -215,140 +215,203 @@ def _ranked_view(chars, pred_node, n_nodes, order, rank, ncap: int):
     return chars_r, preds_r, sink_r
 
 
-def _build_one(seqs, lens, n_seqs, ncap: int, r_max: int, l_max: int):
-    """One window's full MSA build; vmapped over windows by _build_batch.
+def _fuse_alignment(aln_nodes, aln_spos, order, seq, chars, pred_node,
+                    pred_w, pred_t, group_char, group_min, n_nodes, t_ctr,
+                    overflow, *, ncap: int, l_max: int):
+    """Vectorized fusion of one window's alignment into its graph state.
 
-    seqs (r_max, l_max) uint8 base codes (0 pad); lens (r_max,) int32;
-    n_seqs scalar int32 — rounds past it are skipped (dynamic trip count).
-    """
+    No per-entry loop: within a round the fused nodes are pairwise
+    distinct (an intra-column edge cannot arise, so an alignment never
+    revisits a column), hence matching, allocation, edge appends and path
+    writes are one-shot segment/cumsum ops plus unique-index scatters.
+    Returns the new state plus the read's (l_max,) node path."""
     P = MAX_PREDS
     out_len = ncap + l_max
-    trash = ncap - 1          # masked updates write here
-    n_max = ncap - 1          # real node capacity
+    trash = ncap - 1
+    n_max = ncap - 1
     kk = jnp.arange(out_len, dtype=jnp.int32)
     KEYCAP = ncap * ALPHA5
+
+    valid = aln_spos >= 0               # real base entries (pads -2,
+    sposc = jnp.clip(aln_spos, 0, l_max - 1)      # graph-gaps -1 skip)
+    c5 = seq[sposc]                     # (out_len,) base codes
+    node = jnp.where(valid & (aln_nodes >= 0),
+                     order[jnp.clip(aln_nodes, 0, ncap - 1)], -1)
+    gid = group_min[jnp.clip(node, 0, ncap - 1)]
+    # match = the column member carrying this base (distinct bases per
+    # column => membership is all that matters, not scan order)
+    pre = jnp.where(node >= 0,
+                    group_char[jnp.clip(gid, 0, ncap - 1), c5], -1)
+    matched = valid & (pre >= 0)
+    isnew = valid & ~matched
+    join = isnew & (node >= 0)          # joins an existing column
+    # first entry per (column, base) key creates the node; later
+    # entries of the same key reuse it (the host scan's behavior when
+    # a same-round node already joined the column)
+    keyc = jnp.where(join, gid * ALPHA5 + c5, KEYCAP)
+    firstk = jax.ops.segment_min(jnp.where(join, kk, BIG), keyc,
+                                 num_segments=KEYCAP + 1)
+    is_first = join & (firstk[keyc] == kk)
+    creator = is_first | (isnew & (node < 0))
+    new_idx = jnp.cumsum(creator, dtype=jnp.int32) - 1
+    n_new = jnp.sum(creator, dtype=jnp.int32)
+    ovf_n = n_nodes + n_new > n_max
+    cur_created = jnp.clip(n_nodes + new_idx, 0, trash)
+    id_of_key = jnp.full((KEYCAP + 1,), trash, jnp.int32)
+    id_of_key = id_of_key.at[jnp.where(is_first, keyc, KEYCAP)].set(
+        cur_created, unique_indices=True)
+    cur = jnp.where(matched, pre,
+                    jnp.where(creator, cur_created, id_of_key[keyc]))
+    cur = jnp.where(valid, cur, -1)
+    # prev chain: the previous valid entry's node
+    lastk = jax.lax.cummax(jnp.where(valid, kk, -1))
+    lastk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lastk[:-1]])
+    prev = jnp.where(lastk >= 0, cur[jnp.clip(lastk, 0, out_len - 1)], -1)
+    add_e = valid & (prev >= 0)
+    curc = jnp.clip(cur, 0, ncap - 1)
+    # edge prev->cur: all fused nodes of one round are distinct, so at
+    # most ONE new in-edge lands per node — scatter rows are unique
+    slots = pred_node[curc]             # (out_len, P) pre-round rows
+    ehit = slots == prev[:, None]
+    has_e = add_e & jnp.any(ehit, axis=1)
+    eslot = jnp.argmax(ehit, axis=1).astype(jnp.int32)[:, None]
+    nvalid = jnp.sum(slots >= 0, axis=1, dtype=jnp.int32)
+    ovf_e = add_e & ~has_e & (nvalid >= P)
+    wslot = jnp.where(has_e, eslot[:, 0], jnp.clip(nvalid, 0, P - 1))
+    newe = add_e & ~has_e & ~ovf_e
+    ew_old = jnp.take_along_axis(pred_w[curc], eslot, 1)[:, 0]
+    et_old = jnp.take_along_axis(pred_t[curc], eslot, 1)[:, 0]
+    wval = jnp.where(has_e, ew_old + 1, 1)
+    tval = jnp.where(has_e, et_old,
+                     t_ctr + jnp.cumsum(newe, dtype=jnp.int32) - 1)
+    # unique_indices: real rows are pairwise distinct (distinct cur
+    # per round); masked entries all collapse onto the trash row,
+    # whose content is never read — racing writes there are harmless
+    erow = jnp.where(add_e & ~ovf_e, curc, trash)
+    pred_node = pred_node.at[erow, wslot].set(
+        jnp.where(add_e, prev, -1), unique_indices=True)
+    pred_w = pred_w.at[erow, wslot].set(wval, unique_indices=True)
+    pred_t = pred_t.at[erow, wslot].set(tval, unique_indices=True)
+    t_ctr = t_ctr + jnp.sum(newe, dtype=jnp.int32)
+    # new node init (unique ids; (column, base) keys unique)
+    nrow = jnp.where(creator, cur_created, trash)
+    chars = chars.at[nrow].set(c5, unique_indices=True)
+    new_gid = jnp.where(node >= 0, gid, cur_created)
+    group_min = group_min.at[nrow].set(new_gid, unique_indices=True)
+    gcrow = jnp.where(creator, jnp.clip(new_gid, 0, ncap - 1), trash)
+    group_char = group_char.at[gcrow, c5].set(cur_created,
+                                              unique_indices=True)
+    # bookkeeping (alignment seq positions are unique)
+    path_row = jnp.full((l_max + 1,), -1, jnp.int32)
+    path_row = path_row.at[jnp.where(valid, sposc, l_max)].set(
+        cur, unique_indices=True)
+    n_nodes = jnp.minimum(n_nodes + n_new, jnp.int32(n_max))
+    overflow = overflow | ovf_n | jnp.any(ovf_e)
+    return (chars, pred_node, pred_w, pred_t, group_char, group_min,
+            n_nodes, t_ctr, overflow, path_row[:l_max])
+
+
+def _pallas_align_round(chars_r, preds_r, sink_r, n_eff, seqs_r, slen_eff,
+                        ncap: int, l_max: int, interpret: bool):
+    """One batched alignment round through the Pallas wavefront kernel
+    (ops/poa_pallas) — same right-aligned output convention as _align_one,
+    with the host-side packing of align_batch_pallas done in-program."""
+    from .poa_pallas import _align_batch_padded
+    B, W = chars_r.shape[0], 8
+    ri = jnp.arange(ncap, dtype=jnp.int32)[None, :]
+    single = preds_r[:, :, 1] < 0
+    first_prev = preds_r[:, :, 0] == ri - 1
+    root0 = (ri == 0) & (preds_r[:, :, 0] < 0)
+    inactive = ri >= n_eff[:, None]
+    chainw = (single & (first_prev | root0)) | inactive
+    chain_all = (chainw.reshape(B // W, W, ncap).all(axis=1)
+                 .astype(jnp.int32).reshape(B // W, 1, ncap))
+    predsp = jnp.where(preds_r < 0, preds_r[:, :, :1], preds_r)
+    seqs_sh = jnp.full((B, l_max + 1), 255, jnp.int32)
+    seqs_sh = seqs_sh.at[:, 1:].set(seqs_r)
+    an, asp, _ke, _sc = _align_batch_padded(
+        chars_r.astype(jnp.int32), sink_r.astype(jnp.int32), predsp,
+        seqs_sh, slen_eff.reshape(B, 1).astype(jnp.int32),
+        n_eff.reshape(B, 1).astype(jnp.int32), chain_all,
+        ncap, l_max, interpret, False)
+    return an, asp
+
+
+def _build_batch_impl(seqs, lens, n_seqs, ncap: int, r_max: int,
+                      l_max: int, engine: str, interpret: bool):
+    """Batch-level build: the round loop runs over the whole window batch
+    so the per-round alignment can be ONE Pallas grid call (VMEM-resident
+    H, W-joint register traceback) instead of a vmapped XLA walk whose
+    per-step scalar gathers from the big H dominate wall time (measured:
+    one aligned round at the bench bucket cost ~12 s under vmap)."""
+    B = seqs.shape[0]
+    out_len = ncap + l_max
+    kk = jnp.arange(out_len, dtype=jnp.int32)[None, :]
+    sortv = jax.vmap(lambda p, g, n: _toposort(p, g, n, ncap))
+    viewv = jax.vmap(
+        lambda c, p, n, o, rk: _ranked_view(c, p, n, o, rk, ncap))
+    fusev = jax.vmap(
+        functools.partial(_fuse_alignment, ncap=ncap, l_max=l_max))
+    alignv = jax.vmap(
+        lambda c, p, s, n, q, sl: _align_one(c, p, s, n, q, sl, l_max))
 
     def round_body(r, st):
         (chars, pred_node, pred_w, pred_t, group_char, group_min, n_nodes,
          t_ctr, overflow, path) = st
-        seq = seqs[r].astype(jnp.int32)
-        slen = lens[r]
-        order, rank, cyclic = _toposort(pred_node, group_min, n_nodes, ncap)
-        chars_r, preds_r, sink_r = _ranked_view(chars, pred_node, n_nodes,
-                                                order, rank, ncap)
+        seq = seqs[:, r].astype(jnp.int32)          # (B, l_max)
+        slen = lens[:, r]                           # (B,)
+        order, rank, cyclic = sortv(pred_node, group_min, n_nodes)
+        chars_r, preds_r, sink_r = viewv(chars, pred_node, n_nodes, order,
+                                         rank)
         empty = n_nodes == 0
-        # empty read OR empty graph: run the DP over zero rows/columns so
-        # both the row loop and the traceback exit immediately
+        # empty read OR empty graph: zero rows/columns -> immediate exit
         slen_eff = jnp.where(empty, 0, slen)
         n_eff = jnp.where(slen > 0, n_nodes, 0)
-        aln_nodes, aln_spos, _k_end, _sc = _align_one(
-            chars_r, preds_r, sink_r, n_eff, seq, slen_eff, l_max)
+        if engine == "pallas":
+            aln_nodes, aln_spos = _pallas_align_round(
+                chars_r, preds_r, sink_r, n_eff, seq, slen_eff, ncap,
+                l_max, interpret)
+        else:
+            aln_nodes, aln_spos, _k, _s = alignv(chars_r, preds_r, sink_r,
+                                                 n_eff, seq, slen_eff)
         # empty graph: the "alignment" is all-gap — fusing it IS chain init
-        g0 = out_len - slen
-        use_gap = empty & (slen > 0)
-        aln_nodes = jnp.where(use_gap, jnp.where(kk >= g0, -1, -2), aln_nodes)
+        g0 = (out_len - slen)[:, None]
+        use_gap = (empty & (slen > 0))[:, None]
+        aln_nodes = jnp.where(use_gap, jnp.where(kk >= g0, -1, -2),
+                              aln_nodes)
         aln_spos = jnp.where(use_gap, jnp.where(kk >= g0, kk - g0, -2),
                              aln_spos)
         overflow = overflow | cyclic
-
-        # ---- vectorized fusion of the whole alignment ----
-        valid = aln_spos >= 0               # real base entries (pads -2,
-        sposc = jnp.clip(aln_spos, 0, l_max - 1)      # graph-gaps -1 skip)
-        c5 = seq[sposc]                     # (out_len,) base codes
-        node = jnp.where(valid & (aln_nodes >= 0),
-                         order[jnp.clip(aln_nodes, 0, ncap - 1)], -1)
-        gid = group_min[jnp.clip(node, 0, ncap - 1)]
-        # match = the column member carrying this base (distinct bases per
-        # column => membership is all that matters, not scan order)
-        pre = jnp.where(node >= 0,
-                        group_char[jnp.clip(gid, 0, ncap - 1), c5], -1)
-        matched = valid & (pre >= 0)
-        isnew = valid & ~matched
-        join = isnew & (node >= 0)          # joins an existing column
-        # first entry per (column, base) key creates the node; later
-        # entries of the same key reuse it (the host scan's behavior when
-        # a same-round node already joined the column)
-        keyc = jnp.where(join, gid * ALPHA5 + c5, KEYCAP)
-        firstk = jax.ops.segment_min(jnp.where(join, kk, BIG), keyc,
-                                     num_segments=KEYCAP + 1)
-        is_first = join & (firstk[keyc] == kk)
-        creator = is_first | (isnew & (node < 0))
-        new_idx = jnp.cumsum(creator, dtype=jnp.int32) - 1
-        n_new = jnp.sum(creator, dtype=jnp.int32)
-        ovf_n = n_nodes + n_new > n_max
-        cur_created = jnp.clip(n_nodes + new_idx, 0, trash)
-        id_of_key = jnp.full((KEYCAP + 1,), trash, jnp.int32)
-        id_of_key = id_of_key.at[jnp.where(is_first, keyc, KEYCAP)].set(
-            cur_created, unique_indices=True)
-        cur = jnp.where(matched, pre,
-                        jnp.where(creator, cur_created, id_of_key[keyc]))
-        cur = jnp.where(valid, cur, -1)
-        # prev chain: the previous valid entry's node
-        lastk = jax.lax.cummax(jnp.where(valid, kk, -1))
-        lastk = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
-                                 lastk[:-1]])
-        prev = jnp.where(lastk >= 0,
-                         cur[jnp.clip(lastk, 0, out_len - 1)], -1)
-        add_e = valid & (prev >= 0)
-        curc = jnp.clip(cur, 0, ncap - 1)
-        # edge prev->cur: all fused nodes of one round are distinct, so at
-        # most ONE new in-edge lands per node — scatter rows are unique
-        slots = pred_node[curc]             # (out_len, P) pre-round rows
-        ehit = slots == prev[:, None]
-        has_e = add_e & jnp.any(ehit, axis=1)
-        eslot = jnp.argmax(ehit, axis=1).astype(jnp.int32)[:, None]
-        nvalid = jnp.sum(slots >= 0, axis=1, dtype=jnp.int32)
-        ovf_e = add_e & ~has_e & (nvalid >= P)
-        wslot = jnp.where(has_e, eslot[:, 0], jnp.clip(nvalid, 0, P - 1))
-        newe = add_e & ~has_e & ~ovf_e
-        ew_old = jnp.take_along_axis(pred_w[curc], eslot, 1)[:, 0]
-        et_old = jnp.take_along_axis(pred_t[curc], eslot, 1)[:, 0]
-        wval = jnp.where(has_e, ew_old + 1, 1)
-        tval = jnp.where(has_e, et_old,
-                         t_ctr + jnp.cumsum(newe, dtype=jnp.int32) - 1)
-        # unique_indices: real rows are pairwise distinct (distinct cur
-        # per round); masked entries all collapse onto the trash row,
-        # whose content is never read — racing writes there are harmless
-        erow = jnp.where(add_e & ~ovf_e, curc, trash)
-        pred_node = pred_node.at[erow, wslot].set(
-            jnp.where(add_e, prev, -1), unique_indices=True)
-        pred_w = pred_w.at[erow, wslot].set(wval, unique_indices=True)
-        pred_t = pred_t.at[erow, wslot].set(tval, unique_indices=True)
-        t_ctr = t_ctr + jnp.sum(newe, dtype=jnp.int32)
-        # new node init (unique ids; (column, base) keys unique)
-        nrow = jnp.where(creator, cur_created, trash)
-        chars = chars.at[nrow].set(c5, unique_indices=True)
-        new_gid = jnp.where(node >= 0, gid, cur_created)
-        group_min = group_min.at[nrow].set(new_gid, unique_indices=True)
-        gcrow = jnp.where(creator, jnp.clip(new_gid, 0, ncap - 1), trash)
-        group_char = group_char.at[gcrow, c5].set(cur_created,
-                                                  unique_indices=True)
-        # bookkeeping (alignment seq positions are unique)
-        path_row = jnp.full((l_max + 1,), -1, jnp.int32)
-        path_row = path_row.at[jnp.where(valid, sposc, l_max)].set(
-            cur, unique_indices=True)
-        path = path.at[r].set(path_row[:l_max])
-        n_nodes = jnp.minimum(n_nodes + n_new, jnp.int32(n_max))
-        overflow = overflow | ovf_n | jnp.any(ovf_e)
+        (chars, pred_node, pred_w, pred_t, group_char, group_min, n_nodes,
+         t_ctr, overflow, path_row) = fusev(
+            aln_nodes, aln_spos, order, seq, chars, pred_node, pred_w,
+            pred_t, group_char, group_min, n_nodes, t_ctr, overflow)
+        path = path.at[:, r].set(path_row)
         return (chars, pred_node, pred_w, pred_t, group_char, group_min,
                 n_nodes, t_ctr, overflow, path)
 
-    st0 = (jnp.zeros((ncap,), jnp.int32),
-           jnp.full((ncap, P), -1, jnp.int32),
-           jnp.zeros((ncap, P), jnp.int32),
-           jnp.zeros((ncap, P), jnp.int32),
-           jnp.full((ncap, ALPHA5), -1, jnp.int32),
-           jnp.arange(ncap, dtype=jnp.int32),
-           jnp.int32(0), jnp.int32(0), jnp.bool_(False),
-           jnp.full((r_max, l_max), -1, jnp.int32))
+    P = MAX_PREDS
+    st0 = (jnp.zeros((B, ncap), jnp.int32),
+           jnp.full((B, ncap, P), -1, jnp.int32),
+           jnp.zeros((B, ncap, P), jnp.int32),
+           jnp.zeros((B, ncap, P), jnp.int32),
+           jnp.full((B, ncap, ALPHA5), -1, jnp.int32),
+           jnp.broadcast_to(jnp.arange(ncap, dtype=jnp.int32),
+                            (B, ncap)),
+           jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+           jnp.zeros((B,), bool),
+           jnp.full((B, r_max, l_max), -1, jnp.int32))
+    rounds = jnp.max(jnp.asarray(n_seqs, jnp.int32))
     (chars, pred_node, pred_w, pred_t, group_char, group_min, n_nodes,
      t_ctr, overflow, path) = jax.lax.fori_loop(
-        jnp.int32(0), jnp.asarray(n_seqs, jnp.int32), round_body, st0)
-    order, _rank, cyclic = _toposort(pred_node, group_min, n_nodes, ncap)
+        jnp.int32(0), rounds, round_body, st0)
+    order, _rank, cyclic = sortv(pred_node, group_min, n_nodes)
     overflow = overflow | cyclic
-    cons = _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
-                           ncap)
-    back_buf, back_start, fwd_buf, fwd_cnt = cons
+    consv = jax.vmap(
+        lambda c, pn, pw, pt, nn, o: _consensus_walk(c, pn, pw, pt, nn, o,
+                                                     ncap))
+    back_buf, back_start, fwd_buf, fwd_cnt = consv(
+        chars, pred_node, pred_w, pred_t, n_nodes, order)
     return (chars, group_min, n_nodes, path, order, back_buf, back_start,
             fwd_buf, fwd_cnt, overflow)
 
@@ -439,10 +502,22 @@ def _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
     return back_buf, back_start, fwd_buf, fwd_cnt
 
 
-@functools.partial(jax.jit, static_argnames=("ncap", "r_max", "l_max"))
-def _build_batch(seqs, lens, n_seqs, *, ncap: int, r_max: int, l_max: int):
-    f = functools.partial(_build_one, ncap=ncap, r_max=r_max, l_max=l_max)
-    return jax.vmap(f)(seqs, lens, n_seqs)
+@functools.partial(jax.jit, static_argnames=("ncap", "r_max", "l_max",
+                                              "engine", "interpret"))
+def _build_batch(seqs, lens, n_seqs, *, ncap: int, r_max: int, l_max: int,
+                 engine: str = "xla", interpret: bool = False):
+    return _build_batch_impl(seqs, lens, n_seqs, ncap, r_max, l_max,
+                             engine, interpret)
+
+
+def _pick_engine(ncap: int, l_max: int) -> str:
+    """Pallas wavefront per round on an accelerator when the kernel's two
+    (ncap+1, 8, l_max+1) int32 VMEM planes fit; vmapped XLA otherwise."""
+    import jax as _jax
+    if _jax.default_backend() == "cpu":
+        return "xla"
+    vmem = 2 * (ncap + 1) * 8 * (l_max + 1) * 4
+    return "pallas" if vmem <= 100 * 1024 * 1024 else "xla"
 
 
 def _bucket(x, ladder):
@@ -515,7 +590,8 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
     for (rb, lb, nb), idxs in groups.items():
         ncap = nb + 1
         bmem = max(8, H_BYTES_CAP // ((ncap + 1) * (lb + 1) * 4))
-        bcap = min(max_batch or B_LADDER[-1], bmem)
+        # multiple of 8: the Pallas round packs 8 windows per grid step
+        bcap = max(8, (min(max_batch or B_LADDER[-1], bmem) // 8) * 8)
         for off in range(0, len(idxs), bcap):
             chunk = idxs[off:off + bcap]
             b_pad = _bucket(len(chunk), B_LADDER) or len(chunk)
@@ -534,7 +610,8 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
             from ..parallel.dataparallel import shard_batch
             res = jax.device_get(_build_batch(
                 *shard_batch((seqs_a, lens_a, nseq_a)),
-                ncap=ncap, r_max=rb, l_max=lb))
+                ncap=ncap, r_max=rb, l_max=lb,
+                engine=_pick_engine(ncap, lb)))
             (chars, group_min, n_nodes, path, order, back_buf, back_start,
              fwd_buf, fwd_cnt, overflow) = res
             for bi, wi in enumerate(chunk):
