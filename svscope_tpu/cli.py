@@ -272,13 +272,15 @@ def cmd_adjust_vcf(args):
 def _common_bam_args(p, window_bed=True):
     if window_bed:
         p.add_argument("-w", "--windowBed", required=True)
-    p.add_argument("--device-poa", nargs="?", const="fused", default=None,
+    p.add_argument("--device-poa", nargs="?", const="xla", default=None,
                    choices=("fused", "xla", "pallas", "host"),
-                   help="POA alignment backend: 'fused' = whole MSA build "
-                        "on device, one dispatch per window batch (default "
-                        "when given bare), 'xla'/'pallas' = per-read device "
-                        "alignment rounds with host fusion, 'host' = C++ "
-                        "engine.  Omitted = auto by measured device latency")
+                   help="POA alignment backend: 'xla'/'pallas' = per-read "
+                        "device alignment rounds with host fusion ('xla' "
+                        "when given bare), 'fused' = whole MSA build on "
+                        "device, one dispatch per window batch (explicit "
+                        "opt-in; see docs/PERF.md §5 for when it wins), "
+                        "'host' = C++ engine.  Omitted = auto by measured "
+                        "device latency")
     p.add_argument("--oversize-sharded", action="store_true",
                    help="align windows beyond the 2048-node/2048 bp device "
                         "buckets (giant tandem repeats) via the sequence-"

@@ -520,6 +520,48 @@ def _pick_engine(ncap: int, l_max: int) -> str:
     return "pallas" if vmem <= 100 * 1024 * 1024 else "xla"
 
 
+def _dispatch_build(seqs_a, lens_a, nseq_a, *, ncap: int, r_max: int,
+                    l_max: int, engine: str | None = None,
+                    interpret: bool = False):
+    """Place one bucket chunk and run _build_batch under the data mesh.
+
+    A raw pallas_call cannot be auto-partitioned by GSPMD, so with a mesh
+    installed the 'pallas' engine runs under shard_map over the dp axis
+    (each device builds its local window slice; the per-round kernel needs
+    the local batch to be a multiple of its 8-window grid step).  When the
+    batch does not divide mesh*8, the build keeps the mesh but drops to
+    the 'xla' engine, which GSPMD partitions along the window axis."""
+    from ..parallel.dataparallel import data_mesh, shard_batch
+    if engine is None:
+        engine = _pick_engine(ncap, l_max)
+    mesh, axis = data_mesh()
+    b = int(seqs_a.shape[0])
+    if engine == "pallas" and mesh is not None:
+        n = int(mesh.shape[axis])
+        if b % (n * 8) == 0 and b // n >= 8:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:              # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            in_specs = (P(axis, None, None), P(axis, None), P(axis))
+            out_specs = (P(axis, None), P(axis, None), P(axis),
+                         P(axis, None, None), P(axis, None), P(axis, None),
+                         P(axis), P(axis, None), P(axis), P(axis))
+            dev = shard_batch((seqs_a, lens_a, nseq_a))
+            fn = shard_map(
+                functools.partial(_build_batch_impl, ncap=ncap, r_max=r_max,
+                                  l_max=l_max, engine="pallas",
+                                  interpret=interpret),
+                mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False)
+            return jax.jit(fn)(*dev)
+        engine = "xla"
+    return _build_batch(*shard_batch((seqs_a, lens_a, nseq_a)),
+                        ncap=ncap, r_max=r_max, l_max=l_max, engine=engine,
+                        interpret=interpret)
+
+
 def _bucket(x, ladder):
     for b in ladder:
         if x <= b:
@@ -594,7 +636,9 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
         bcap = max(8, (min(max_batch or B_LADDER[-1], bmem) // 8) * 8)
         for off in range(0, len(idxs), bcap):
             chunk = idxs[off:off + bcap]
-            b_pad = _bucket(len(chunk), B_LADDER) or len(chunk)
+            # multiple of 8 always (the Pallas round packs 8 windows per
+            # grid step); chunks past B_LADDER[-1] round up, not truncate
+            b_pad = _bucket(len(chunk), B_LADDER) or -(-len(chunk) // 8) * 8
             b_pad = min(b_pad, bcap) if b_pad > len(chunk) else b_pad
             seqs_a = np.zeros((b_pad, rb, lb), np.uint8)
             lens_a = np.zeros((b_pad, rb), np.int32)
@@ -605,13 +649,11 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
                     seqs_a[bi, ri, :len(c)] = c
                     lens_a[bi, ri] = len(c)
             # one transfer; with a data mesh installed the window axis
-            # shards across chips (windows independent -> SPMD, the jitted
-            # build partitions along the batch axis with no collectives)
-            from ..parallel.dataparallel import shard_batch
-            res = jax.device_get(_build_batch(
-                *shard_batch((seqs_a, lens_a, nseq_a)),
-                ncap=ncap, r_max=rb, l_max=lb,
-                engine=_pick_engine(ncap, lb)))
+            # shards across chips (windows independent -> SPMD; the xla
+            # engine partitions under GSPMD, the pallas engine under
+            # shard_map — see _dispatch_build)
+            res = jax.device_get(_dispatch_build(
+                seqs_a, lens_a, nseq_a, ncap=ncap, r_max=rb, l_max=lb))
             (chars, group_min, n_nodes, path, order, back_buf, back_start,
              fwd_buf, fwd_cnt, overflow) = res
             for bi, wi in enumerate(chunk):
@@ -625,7 +667,13 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
     if fallback:
         log.info("fused POA: %d/%d windows overflowed the device bucket; "
                  "host C++ fallback", len(fallback), len(seq_lists))
-        from ..native.poa import poa_native
-        for i in fallback:
-            out[i] = poa_native(seq_lists[i])
+        if len(fallback) > 1:      # threaded host engine, like host mode
+            from ..native.poa import poa_msa_batch_native
+            for i, r in zip(fallback,
+                            poa_msa_batch_native(
+                                [seq_lists[i] for i in fallback])):
+                out[i] = r
+        else:
+            from ..native.poa import poa_native
+            out[fallback[0]] = poa_native(seq_lists[fallback[0]])
     return out

@@ -136,6 +136,43 @@ def test_fast_toposort_matches_reference_kahn():
             assert (f_rank[:n] == r_rank[:n]).all(), trial
 
 
+def test_dispatch_build_pallas_shards_under_mesh():
+    """With a dp mesh installed, the 'pallas' engine must run under
+    shard_map (a raw pallas_call cannot be auto-partitioned by GSPMD) and
+    produce results identical to the unsharded xla build."""
+    import jax
+    from svscope_tpu.ops import poa_fused as pf
+    from svscope_tpu.parallel import dataparallel as dpm
+
+    rng = random.Random(17)
+    ncap, r_max, l_max, B = 129, 4, 64, 16
+    seqs_a = np.zeros((B, r_max, l_max), np.uint8)
+    lens_a = np.zeros((B, r_max), np.int32)
+    nseq_a = np.full(B, r_max, np.int32)
+    for b in range(B):
+        ref = [rng.randrange(4) for _ in range(24)]
+        for r in range(r_max):
+            row = list(ref)
+            if r % 2:
+                row[12:12] = [rng.randrange(4) for _ in range(3)]
+            seqs_a[b, r, :len(row)] = row
+            lens_a[b, r] = len(row)
+    base = jax.device_get(pf._dispatch_build(
+        seqs_a, lens_a, nseq_a, ncap=ncap, r_max=r_max, l_max=l_max,
+        engine="xla"))
+    try:
+        dpm.set_data_mesh(dpm.make_dp_mesh(2))
+        got = jax.device_get(pf._dispatch_build(
+            seqs_a, lens_a, nseq_a, ncap=ncap, r_max=r_max, l_max=l_max,
+            engine="pallas", interpret=True))
+        assert dpm.LAST_DISPATCH["sharded"] and \
+            dpm.LAST_DISPATCH["n_shards"] == 2
+    finally:
+        dpm.set_data_mesh(None)
+    for a, b in zip(base, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_non_acgtn_bases_fall_back():
     # the device build encodes ACGTN only; other characters (IUPAC codes)
     # must transparently route to the host engine with identical output
