@@ -106,13 +106,24 @@ def _pairwise_euclidean(obs: np.ndarray) -> np.ndarray:
     pdist C loop sums sequentially, and NumPy's pairwise summation differs
     from it by ~1 ulp, which is enough to flip downstream tie comparisons
     and reorder equal-height Ward merges.  Bitwise pdist parity is what
-    makes ward_linkage Z-identical to scipy (tested)."""
-    n, nf = obs.shape
-    s = np.zeros((n, n), np.float64)
-    for k in range(nf):
-        d = obs[:, k, None] - obs[None, :, k]
-        s += d * d
-    return np.sqrt(s)
+    makes ward_linkage Z-identical to scipy (tested).
+
+    The hot path is the C++ kernel (native/hcluster.cpp): same per-pair
+    sequential accumulation, SIMD across pairs (lane-independent sums are
+    never reassociated), fp-contract off — bitwise-identical to this
+    NumPy loop (tested) at ~15-30x its speed for the 500-read windows
+    that otherwise serialize host EM prep."""
+    obs = np.asarray(obs, np.float64)
+    try:
+        from ..native.hcluster import pdist_seq
+        return pdist_seq(obs)
+    except Exception:                    # no g++ / load failure: pure NumPy
+        n, nf = obs.shape
+        s = np.zeros((n, n), np.float64)
+        for k in range(nf):
+            d = obs[:, k, None] - obs[None, :, k]
+            s += d * d
+        return np.sqrt(s)
 
 
 def ward_linkage(obs: np.ndarray) -> np.ndarray:

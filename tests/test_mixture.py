@@ -322,6 +322,26 @@ def test_ward_linkage_on_similarity_matrices():
         assert (Z0[:, :2] == Z1[:, :2]).all(), t
 
 
+def test_native_pdist_bitwise_matches_python_and_scipy():
+    """The C++ pdist kernel (native/hcluster.cpp) must be bitwise-identical
+    to BOTH the sequential NumPy fallback and scipy's pdist — it feeds the
+    tie-sensitive Ward NN-chain, where a 1-ulp difference reorders merges."""
+    pytest.importorskip("svscope_tpu.native.hcluster")
+    from scipy.spatial.distance import pdist as sp_pdist, squareform
+    from svscope_tpu.native.hcluster import pdist_seq
+    rng = np.random.default_rng(9)
+    for n, nf in [(3, 2), (17, 5), (64, 64), (200, 123), (500, 70)]:
+        x = rng.random((n, nf))
+        xq = np.round(x * 8) / 8           # tie-heavy quantized variant
+        for obs in (x, xq):
+            ref = squareform(sp_pdist(obs))
+            got = pdist_seq(obs)
+            np.fill_diagonal(ref, 0.0)
+            assert (got == ref).all(), (n, nf)
+            # both thread counts take the same fp path
+            assert (pdist_seq(obs, n_threads=4) == ref).all(), (n, nf)
+
+
 def test_nan_bic_retry_labels_only(monkeypatch):
     """Retry policy through the labels_only dispatch (the localGraph
     production path uses _em_folded_batch_light)."""
