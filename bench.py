@@ -69,20 +69,44 @@ def make_window_payloads(n, rng):
 
 
 def measure_ours(wins):
+    """(best windows/s, per-trial seconds) of the pipelined engine path."""
     from svscope_tpu.engine.localgraph import process_window_batch
     # warm pass: compiles every (shape, batch) bucket the pipelined path
     # uses; steady-state throughput is what the engine delivers on a long
     # window stream (compiles are one-time and disk-cached)
     process_window_batch(wins, device_poa=False)
-    best = 0.0
+    trials = []
     for _ in range(3):   # best of 3: the shared dev host is noisy
         t0 = time.time()
         records = process_window_batch(wins, device_poa=False)
         dt = time.time() - t0
         n_som = sum(1 for r in records if str(r[9]).endswith("EMOutput"))
         assert n_som >= len(wins) * 0.8, f"only {n_som} somatic calls"
-        best = max(best, len(wins) / dt)
-    return best
+        trials.append(round(dt, 3))
+    return len(wins) / min(trials), trials
+
+
+def measure_stages(wins):
+    """Per-stage wall seconds on ONE unpipelined chunk: phase A (host POA
+    MSA + feature selection), phase B (device EM dispatch + fetch incl.
+    NaN-retry), phase C (labeling + batched consensus POA + emission).
+    The pipelined headline overlaps these; the split is the regression
+    diagnostic the round-3 bench lacked (a 180-vs-202 w/s swing was not
+    attributable to any stage from artifacts alone)."""
+    from svscope_tpu.engine import localgraph as lg
+    chunk = wins[:min(len(wins), lg.PIPELINE_CHUNK)]
+    t0 = time.time()
+    entries, ready = lg._stage_a(chunk, "tumor", 3, 0.05, False, None)
+    t1 = time.time()
+    fetch = lg._dispatch_em(ready, None)
+    em_results = fetch()
+    t2 = time.time()
+    lg._emit_chunk(ready, em_results, "tumor", 3, False)
+    t3 = time.time()
+    return {"n_windows": len(chunk),
+            "stage_a_poa_feat_s": round(t1 - t0, 3),
+            "stage_b_em_device_s": round(t2 - t1, 3),
+            "stage_c_consensus_s": round(t3 - t2, 3)}
 
 
 def measure_reference_baseline(budget_s=60.0):
@@ -124,7 +148,12 @@ def measure_reference_baseline(budget_s=60.0):
 def run_measurement(n_windows=N_WINDOWS):
     rng = np.random.default_rng(0)
     wins = make_window_payloads(n_windows, rng)
-    ours = measure_ours(wins)
+    import jax
+    from svscope_tpu.engine.localgraph import _probe_device_latency
+    probe = (None if jax.default_backend() == "cpu"
+             else round(_probe_device_latency(), 4))
+    ours, trials = measure_ours(wins)
+    stages = measure_stages(wins)
     base = measure_reference_baseline()
     return {
         "metric": "localGraph windows/s (300bp, 24 reads; native POA + TPU EM)",
@@ -132,6 +161,12 @@ def run_measurement(n_windows=N_WINDOWS):
         "unit": "windows/s",
         "vs_baseline": round(ours / base, 2),
         "n_windows": n_windows,
+        # regression forensics (round-3 verdict: the 180-vs-202 w/s swing
+        # was unanswerable from artifacts alone)
+        "baseline_w_per_s": round(base, 3),
+        "trial_s": trials,
+        "stages": stages,
+        "device_probe_s": probe,
     }
 
 
@@ -153,7 +188,11 @@ def main():
     best = None
     for args, extra_env, tmo in (
             (["--inner"], {}, 900),
-            (["--inner"], {"JAX_PLATFORMS": "cpu"}, 1800)):
+            # PALLAS_AXON_POOL_IPS must be cleared too: the axon
+            # sitecustomize registers the TPU plugin and overrides a bare
+            # JAX_PLATFORMS=cpu (verified: backend stays 'tpu' without it)
+            (["--inner"], {"JAX_PLATFORMS": "cpu",
+                           "PALLAS_AXON_POOL_IPS": ""}, 1800)):
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 *args],

@@ -63,6 +63,7 @@ def main():
     open(win_bed, "w").write("\n".join(records) + "\n")
 
     env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="",   # axon sitecustomize overrides bare JAX_PLATFORMS
                PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
     port = 12789
     sharded_dir = os.path.join(d, "sharded")
