@@ -354,16 +354,28 @@ SEG = np.eye(MAX_K)[SLOT_RUN]                 # (45, 9) slot -> run one-hot
 
 
 def _em_folded_one(codes, hard, n_k, n_true, nf_true, zpn, key,
-                   nsteps: int, dtype):
+                   nsteps: int, dtype, psum_axis: str | None = None,
+                   read_off=None):
+    """One window's 45-slot folded EM.
+
+    psum_axis: when set, the READ axis of this window is sharded over that
+    mesh axis (shard_map caller) — the three read reductions (denominator,
+    sufficient-statistic counts, log-likelihood) become psums and all other
+    ops stay local.  This is SURVEY §5's Ulysses analog: one giant window
+    scattered across chips, gamma stays sharded.  read_off: this shard's
+    global read offset (for the read-count mask)."""
     n_pad, nf_pad = codes.shape
     seg = jnp.asarray(SEG, dtype)                          # (R, 9)
     slot_run = jnp.asarray(SLOT_RUN)
     slot_k = jnp.asarray(SLOT_K, dtype)
     run_off = jnp.asarray(RUN_OFF)
+    rsum = ((lambda v: jax.lax.psum(v, psum_axis)) if psum_axis
+            else (lambda v: v))
 
     x_oh = (codes[..., None] == jnp.arange(ALPHA, dtype=codes.dtype))
     x_flat = x_oh.reshape(n_pad, nf_pad * ALPHA).astype(dtype)
-    read_mask = (jnp.arange(n_pad) < n_true).astype(dtype)
+    ridx = jnp.arange(n_pad) + (0 if read_off is None else read_off)
+    read_mask = (ridx < n_true).astype(dtype)
     nt = n_true.astype(dtype)
     slot_active = slot_run < n_k                           # (R,)
 
@@ -375,8 +387,8 @@ def _em_folded_one(codes, hard, n_k, n_true, nf_true, zpn, key,
 
     def m_step(gamma, key):
         g = gamma * read_mask[:, None]
-        denom = g.sum(axis=0)                              # (R,)
-        counts = g.T @ x_flat                              # (R, nf*5)
+        denom = rsum(g.sum(axis=0))                        # (R,)
+        counts = rsum(g.T @ x_flat)                        # (R, nf*5)
         theta = counts / jnp.where(denom == 0, 1.0, denom)[:, None]
         pi = denom / nt
         # per-run degeneracy: any active slot with pi*N < 1 or NaN
@@ -423,7 +435,7 @@ def _em_folded_one(codes, hard, n_k, n_true, nf_true, zpn, key,
         gamma, M = e_step(pi, theta)
         lik_slot = gamma * M                               # (N, R)
         lik_run = (lik_slot @ seg) * read_mask[:, None]    # (N, 9)
-        return gamma, lik_run.sum(axis=0)
+        return gamma, rsum(lik_run.sum(axis=0))
 
     keys = jax.random.split(key, nsteps + 1)
     pi0, theta0 = m_step(gamma0, keys[0])
@@ -468,6 +480,89 @@ def _em_folded_batch_light(codes, hard, n_k, n_true, nf_true, zpn, keys,
     return jax.vmap(_em_folded_one_light,
                     in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
         codes, hard, n_k, n_true, nf_true, zpn, keys, nsteps, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Read-parallel (mp) EM for oversized windows: SURVEY §5's Ulysses analog.
+# Selection caps windows at 3..500 spanning reads
+# (src/WindowSelection_v8.py:600,614); windows past MP_READ_THRESHOLD
+# scatter their READ axis over the installed data mesh instead of running
+# on one chip — the E-step is read-independent given theta, and the three
+# read reductions (denominator, counts, log-lik) become psums.
+# ---------------------------------------------------------------------------
+
+MP_READ_THRESHOLD = 256
+LAST_MP_DISPATCH = {"used": False, "n_shards": 1, "n_windows": 0}
+_MP_FN_CACHE: dict = {}
+
+
+def _mp_folded_fn(mesh, axis: str, nsteps: int, dtype, labels_only: bool):
+    """Jitted shard_map of the folded EM with the read axis sharded over
+    mesh[axis].  bics replicate (every shard computes them from psummed
+    stats); labels/gamma stay read-sharded until the fetch."""
+    key = (mesh, axis, nsteps, jnp.dtype(dtype).name, labels_only)
+    if key in _MP_FN_CACHE:
+        return _MP_FN_CACHE[key]
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local(codes_l, hard_l, n_k, n_true, nf_true, zpn, rngkey):
+        off = jax.lax.axis_index(axis) * codes_l.shape[0]
+        bics, gam = _em_folded_one(codes_l, hard_l, n_k, n_true, nf_true,
+                                   zpn, rngkey, nsteps, dtype,
+                                   psum_axis=axis, read_off=off)
+        if labels_only:
+            return bics, jnp.argmax(gam, axis=2).astype(jnp.int8)
+        return bics, gam
+
+    in_specs = (P(axis, None), P(None, axis), P(), P(), P(), P(), P())
+    out_specs = (P(), P(None, axis) if labels_only else P(None, axis, None))
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs))
+    _MP_FN_CACHE[key] = fn
+    return fn
+
+
+def _mp_route(feats, mesh, axis: str) -> set[int]:
+    """Indices of windows to run read-parallel: above the threshold AND
+    their padded read axis divides the mesh."""
+    nsh = int(mesh.shape[axis])
+    if nsh <= 1:
+        return set()
+    out = set()
+    for i, x in enumerate(feats):
+        n = int(np.asarray(x).shape[0])
+        if n > MP_READ_THRESHOLD and _bucket(n, READS_LADDER) % nsh == 0:
+            out.add(i)
+    return out
+
+
+def _mp_dispatch_one(x, mesh, axis: str, max_c: int, base_key, dtype,
+                     nsteps: int, labels_only: bool):
+    """Host prep + async read-sharded EM for ONE oversized window.
+    Returns (n_k, bics_dev, out_dev)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x = np.asarray(x)
+    n, nf = x.shape
+    n_pad = _bucket(n, READS_LADDER)
+    nf_pad = _bucket(nf)
+    n_k = max(min(max_c + 1, n) - 1, 1)
+    codes = np.full((n_pad, nf_pad), PAD_CODE, np.int8)
+    codes[:n, :nf] = x
+    hard = np.zeros((MAX_K, n_pad), np.int8)
+    hard[:min(n_k, MAX_K), :n] = ward_init_labels(x, min(n_k, MAX_K))
+    np_dtype = np.dtype(jnp.dtype(dtype))
+    dev_c, dev_h = jax.device_put(
+        (codes, hard), (NamedSharding(mesh, P(axis, None)),
+                        NamedSharding(mesh, P(None, axis))))
+    fn = _mp_folded_fn(mesh, axis, nsteps, dtype, labels_only)
+    bics_d, out_d = fn(dev_c, dev_h, np.int32(n_k), np.int32(n),
+                       np_dtype.type(nf), np_dtype.type(zero_param_count(x)),
+                       np.asarray(base_key))
+    return n_k, bics_d, out_d
 
 
 _KEY_CACHE: dict[tuple[int, int], np.ndarray] = {}
@@ -559,8 +654,24 @@ def _raw_em_dispatch(feats: list[np.ndarray], max_c: int,
     closure producing raw per-window tuples (bics (MAX_K,), per-K output
     — int8 labels (MAX_K, N) or gamma (MAX_K, N, MAX_K) —, n_k)."""
     results: list = [None] * len(feats)
+    from ..parallel.dataparallel import data_mesh
+    mesh, maxis = data_mesh()
+    mp_idx: set[int] = _mp_route(feats, mesh, maxis) if mesh is not None \
+        else set()
+    mp_pending = []          # (feat index, n_k, bics_dev, out_dev)
+    for i in sorted(mp_idx):
+        n_k, bics_d, out_d = _mp_dispatch_one(
+            feats[i], mesh, maxis, max_c, base_key, dtype, nsteps,
+            labels_only)
+        mp_pending.append((i, n_k, bics_d, out_d))
+    LAST_MP_DISPATCH.update(
+        used=bool(mp_pending),
+        n_shards=int(mesh.shape[maxis]) if mp_pending else 1,
+        n_windows=len(mp_pending))
     groups: dict[tuple[int, int], list[int]] = {}
     for i, x in enumerate(feats):
+        if i in mp_idx:
+            continue
         key = (_bucket(x.shape[0], READS_LADDER),
                _bucket(x.shape[1]))
         groups.setdefault(key, []).append(i)
@@ -637,11 +748,15 @@ def _raw_em_dispatch(feats: list[np.ndarray], max_c: int,
 
     def fetch():
         # one batched fetch (each separate np.array() is a tunnel round trip)
-        fetched = jax.device_get([(b, g) for _, _, b, g in pending])
+        fetched = jax.device_get([(b, g) for _, _, b, g in pending]
+                                 + [(b, o) for _, _, b, o in mp_pending])
         for (idxs, nks, _, _), (bics_b, gammas_b) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 results[i] = (np.array(bics_b[bi], np.float64),
                               np.array(gammas_b[bi]), int(nks[bi]))
+        for (i, n_k, _, _), (bics, out) in zip(mp_pending,
+                                               fetched[len(pending):]):
+            results[i] = (np.array(bics, np.float64), np.array(out), n_k)
         return results
 
     return fetch

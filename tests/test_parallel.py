@@ -94,6 +94,47 @@ def test_process_window_batch_dp_mesh_identical():
     assert out == base
 
 
+def test_mp_read_parallel_em_identical():
+    """Read-parallel (mp) EM: a 500-read window (above MP_READ_THRESHOLD)
+    scatters its READ axis over the 8-device mesh — SURVEY §5's Ulysses
+    analog — and must select the same K, labels and (to fp reduction
+    order) BICs as the unsharded folded EM."""
+    import jax
+    import svscope_tpu.models.mixture as mx
+    from svscope_tpu.parallel import dataparallel as dpm
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(5)
+
+    def win(n1, n2, nf):
+        a = rng.integers(0, 4, (1, nf))
+        b = (a + 1 + rng.integers(0, 3, (1, nf))) % 4
+        x = np.concatenate([np.repeat(a, n1, 0), np.repeat(b, n2, 0)])
+        flip = rng.random(x.shape) < 0.03
+        return np.where(flip, rng.integers(0, 5, x.shape), x).astype(np.int8)
+
+    # 500-read window (the selection cap), a small window (normal path)
+    # and a 300-read window, mixed in one dispatch
+    feats = [win(250, 250, 40), win(6, 6, 18), win(150, 150, 64)]
+    for labels_only in (True, False):
+        base = mx.em_cluster_batch_dispatch(feats, labels_only=labels_only,
+                                            dtype=np.float64)()
+        assert not mx.LAST_MP_DISPATCH["used"]
+        try:
+            dpm.set_data_mesh(dpm.make_dp_mesh(8))
+            got = mx.em_cluster_batch_dispatch(
+                feats, labels_only=labels_only, dtype=np.float64)()
+            assert mx.LAST_MP_DISPATCH["used"]
+            assert mx.LAST_MP_DISPATCH["n_shards"] == 8
+            assert mx.LAST_MP_DISPATCH["n_windows"] == 2   # windows 0 and 2
+        finally:
+            dpm.set_data_mesh(None)
+        for i, (b, g) in enumerate(zip(base, got)):
+            assert g[0] == b[0], (labels_only, i)          # K
+            assert (g[2] == b[2]).all(), (labels_only, i)  # labels
+            np.testing.assert_allclose(g[6], b[6], rtol=1e-9)  # BICs
+
+
 def test_poa_device_rounds_dp_mesh_identical():
     """Device POA rounds (XLA aligner) with the batch axis sharded over the
     8-device mesh: MSAs and consensuses identical to unsharded."""
