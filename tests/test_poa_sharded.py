@@ -203,6 +203,69 @@ def test_banded_msa_matches_host(monkeypatch):
     assert cons_dev == cons_host
 
 
+def test_design_point_4k_tandem_repeat_banded_auto(monkeypatch):
+    """The oversized-window path at its design point: a ~4k-node tandem-
+    repeat graph vs a >4k bp read on the 8-device mesh, with enough cells
+    that traceback='auto' crosses FULL_DIRS_CELL_LIMIT and takes the
+    block-recompute (H-resident) path.  Asserts (a) the auto switch really
+    engaged, (b) alignment parity with the host aligner, (c) the O(N/kr +
+    L/kc) direction-block fetch bound that makes the dirless design scale
+    (32k x 32k windows without a quarter-GB device->host transfer)."""
+    import svscope_tpu.ops.poa_sharded as ps
+    from svscope_tpu.ops.poa import _fused_path
+    rng = np.random.default_rng(0)
+    unit = "".join(rng.choice(list("ACGT"), 60))
+    ref = (unit * 70)[:3900]                     # tandem-repeat reference
+    g = PoaGraph()
+    prev = -1
+    for ch in ref:
+        cur = g._add_node(ch)
+        if prev >= 0:
+            g._add_edge(prev, cur)
+        prev = cur
+    g.seq_begin.append(0)
+
+    def noisy(s, ne):
+        b = list(s)
+        for _ in range(ne):
+            p = int(rng.integers(1, len(b) - 1))
+            op = int(rng.integers(0, 3))
+            if op == 0:
+                b[p] = str(rng.choice(list("ACGT")))
+            elif op == 1:
+                b.insert(p, str(rng.choice(list("ACGT"))))
+            else:
+                b.pop(p)
+        return "".join(b)
+
+    for _ in range(2):                           # branch the graph
+        s = noisy(ref, 50)
+        _fused_path(g, g.align(s), s)
+    n = g.n_nodes()
+    assert 3900 <= n <= 4096, n                  # n_max bucket = 4096
+    read = noisy(ref, 60) + noisy(unit * 5, 10)  # > 4096 bp
+    assert len(read) > 4096
+    mesh = _mesh(8)
+    # the auto threshold must be crossed at these shapes
+    n_max = max(256, 1 << (n - 1).bit_length())
+    l_bucket = max(256, 1 << max(len(read) - 1, 1).bit_length())
+    block = -(-(l_bucket + 1) // 8)
+    assert n_max * block * 8 > ps.FULL_DIRS_CELL_LIMIT
+    calls = {"n": 0}
+    real = ps._dir_block
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(ps, "_dir_block", counting)
+    dev, _score = align_sharded(g, read, mesh, traceback="auto")
+    assert calls["n"] > 0, "auto did not take the block-recompute path"
+    bound = n // ps.TB_BLOCK_R + len(read) // ps.TB_BLOCK_C + 2
+    assert calls["n"] <= bound, (calls["n"], bound)
+    assert dev == g.align(read)
+
+
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_align_sharded_block_boundary_stress(n_dev):
     """Highly divergent reads (dense bubbles, multi-pred nodes) with read
