@@ -147,6 +147,64 @@ def test_pyspoa_algorithm_int_mapping():
         assert cons_ref == cons_our, f"window {t}"
 
 
+def test_diff_comparators():
+    """In-env unit coverage for tools/reference_diff's whitelist mechanics
+    (the full harness is env-gated below; the comparators must be correct
+    regardless)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import reference_diff as rd
+    # read groups: cluster order and member order are non-semantic
+    assert rd._groups("a,b;c,d") == rd._groups("d,c;b,a")
+    assert rd._groups("a,b;c,d") != rd._groups("a,c;b,d")
+    assert rd._groups("-") == frozenset()
+    # consensus whitelist: <= WL_EDIT edits tolerated, more is a failure
+    assert rd._seqs_match("ACGT", "ACGT") == (True, False)
+    assert rd._seqs_match("ACGTACGT", "ACGAACGT") == (False, True)
+    assert rd._seqs_match("ACGTACGT", "TTTTTTTT") == (False, False)
+    assert rd._seqs_match("AA;CC", "CC;AA") == (True, False)  # order-free
+    # raw-bed diff end-to-end on fixture rows
+    import tempfile
+    a = ["chr1\t10\t20\tACGT\tr1,r2,r3\t1\tACGA\tr4,r5,r6\t1\t"
+         "NormalOutput|EMOutput"]
+    b_same_wl = ["chr1\t10\t20\tACGA\tr3,r2,r1\t1\tACGA\tr6,r5,r4\t1\t"
+                 "NormalOutput|EMOutput"]
+    b_fail = ["chr1\t10\t20\tACGT\tr1,r2,r9\t1\tACGA\tr4,r5,r6\t1\t"
+              "NormalOutput|EMOutput"]
+    with tempfile.TemporaryDirectory() as d:
+        pa, pb, pc = (os.path.join(d, x) for x in "abc")
+        open(pa, "w").write("\n".join(a) + "\n")
+        open(pb, "w").write("\n".join(b_same_wl) + "\n")
+        open(pc, "w").write("\n".join(b_fail) + "\n")
+        ok = rd.diff_raw_bed(pa, pb)
+        assert not ok["failures"] and ok["whitelisted"] == 1
+        bad = rd.diff_raw_bed(pa, pc)
+        assert bad["failures"] and \
+            bad["failures"][0]["diffs"][0][0] == "som_reads"
+
+
+def test_full_pipeline_reference_diff(tmp_path):
+    """The BASELINE.md configs-1/3 harness: reference callsomaticSV vs this
+    framework's CLI on the same synthetic BAM pair, Raw.bed (+ merged VCF
+    where bedtools exists) diffed with the tolerated deltas whitelisted.
+    Env-gated: needs pysam + pyspoa (+ scipy/sklearn for the reference's
+    EM/RF), absent in this image."""
+    pytest.importorskip("pysam")
+    pytest.importorskip("spoa")
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference snapshot not mounted")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import reference_diff as rd
+    report = rd.run_harness(str(tmp_path), keep=True)
+    t1 = report["tier1_raw_bed"]
+    assert t1["rows"] > 0
+    assert t1["failures"] == [], t1
+    t2 = report["tier2_merged_vcf"]
+    if t2 is not None:
+        assert t2["failures"] == [], t2
+
+
 def test_reference_datamaker_parity(tmp_path):
     """Full DataMaker diff through the real reference code path (pysam +
     pyspoa): same BAMs, same window, identical sequence list and read IDs.
