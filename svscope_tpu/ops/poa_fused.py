@@ -416,6 +416,84 @@ def _build_batch_impl(seqs, lens, n_seqs, ncap: int, r_max: int,
             fwd_buf, fwd_cnt, overflow)
 
 
+def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
+                         l_max: int, interpret: bool):
+    """Round loop for the 'pk' engine: alignment + traceback + FUSION all
+    inside one Pallas kernel per round (ops/poa_fused_kernel) — graph
+    state stays device-resident in the kernel's layouts; XLA keeps only
+    the canonical group-Kahn re-rank and the rank-space gathers.  Output
+    tuple identical to _build_batch_impl (same emission path, tested
+    identical)."""
+    from .poa_fused_kernel import GC_PAD, fused_round_call
+    B = seqs.shape[0]
+    P = MAX_PREDS
+    sortv = jax.vmap(lambda p, g, n: _toposort(p, g, n, ncap))
+    take = jax.vmap(lambda a, o: a[o])
+
+    def round_body(r, st):
+        (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t,
+         outdeg_t, path) = st
+        seq = seqs[:, r].astype(jnp.int32)            # (B, l_max)
+        slen = lens[:, r].astype(jnp.int32)
+        order, rank, cyclic = sortv(pred, gmin_t.T, nn[:, 0])
+        chars_b = chars_t.T                           # (B, ncap)
+        rank_of = jax.vmap(
+            lambda rk, p: jnp.where(p >= 0, rk[jnp.clip(p, 0, ncap - 1)],
+                                    -1))(rank, pred)  # id->rank per slot
+        chars_r = take(chars_b, order)
+        preds_r = take(rank_of, order)
+        sink_r = take((outdeg_t.T == 0).astype(jnp.int32), order)
+        nn_eff = jnp.where(slen > 0, nn[:, 0], 0)
+        ri = jnp.arange(ncap, dtype=jnp.int32)[None, :]
+        single = preds_r[:, :, 1] < 0
+        first_prev = preds_r[:, :, 0] == ri - 1
+        root0 = (ri == 0) & (preds_r[:, :, 0] < 0)
+        inactive = ri >= nn_eff[:, None]
+        chainw = (single & (first_prev | root0)) | inactive
+        chain_all = (chainw.reshape(B // 8, 8, ncap).all(axis=1)
+                     .astype(jnp.int32).reshape(B // 8, 1, ncap))
+        predsp = jnp.where(preds_r < 0, preds_r[:, :, :1], preds_r)
+        seqv = jnp.full((B, l_max + 1), 255, jnp.int32)
+        seqv = seqv.at[:, 1:].set(seq)
+        ovf = ovf | cyclic.astype(jnp.int32).reshape(B, 1)
+        (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t,
+         outdeg_t, path_round) = fused_round_call(
+            chars_r, sink_r, predsp, chain_all, order, seqv, seq,
+            slen.reshape(B, 1), nn_eff.reshape(B, 1), nn, tctr, ovf,
+            pred, predw, predt, gchar, chars_t, gmin_t, outdeg_t,
+            ncap=ncap, n_max=ncap, l_max=l_max, interpret=interpret)
+        path = path.at[:, r].set(path_round.T)
+        return (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t,
+                outdeg_t, path)
+
+    st0 = (jnp.zeros((B, 1), jnp.int32), jnp.zeros((B, 1), jnp.int32),
+           jnp.zeros((B, 1), jnp.int32),
+           jnp.full((B, ncap, P), -1, jnp.int32),
+           jnp.zeros((B, ncap, P), jnp.int32),
+           jnp.zeros((B, ncap, P), jnp.int32),
+           jnp.full((B, ncap, GC_PAD), -1, jnp.int32),
+           jnp.zeros((ncap, B), jnp.int32),
+           jnp.broadcast_to(jnp.arange(ncap, dtype=jnp.int32)[:, None],
+                            (ncap, B)),
+           jnp.zeros((ncap, B), jnp.int32),
+           jnp.full((B, r_max, l_max), -1, jnp.int32))
+    rounds = jnp.max(jnp.asarray(n_seqs, jnp.int32))
+    (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t, outdeg_t,
+     path) = jax.lax.fori_loop(jnp.int32(0), rounds, round_body, st0)
+    chars = chars_t.T
+    group_min = gmin_t.T
+    n_nodes = nn[:, 0]
+    order, _rank, cyclic = sortv(pred, group_min, n_nodes)
+    overflow = (ovf[:, 0] > 0) | cyclic
+    consv = jax.vmap(
+        lambda c, pn, pw, pt, nnx, o: _consensus_walk(c, pn, pw, pt, nnx,
+                                                      o, ncap))
+    back_buf, back_start, fwd_buf, fwd_cnt = consv(
+        chars, pred, predw, predt, n_nodes, order)
+    return (chars, group_min, n_nodes, path, order, back_buf, back_start,
+            fwd_buf, fwd_cnt, overflow)
+
+
 def _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
                     ncap: int):
     """Heaviest-bundle consensus node path (PoaGraph.consensus semantics):
@@ -506,18 +584,26 @@ def _consensus_walk(chars, pred_node, pred_w, pred_t, n_nodes, order,
                                               "engine", "interpret"))
 def _build_batch(seqs, lens, n_seqs, *, ncap: int, r_max: int, l_max: int,
                  engine: str = "xla", interpret: bool = False):
+    if engine == "pk":
+        return _build_batch_impl_pk(seqs, lens, n_seqs, ncap, r_max, l_max,
+                                    interpret)
     return _build_batch_impl(seqs, lens, n_seqs, ncap, r_max, l_max,
                              engine, interpret)
 
 
 def _pick_engine(ncap: int, l_max: int) -> str:
-    """Pallas wavefront per round on an accelerator when the kernel's two
-    (ncap+1, 8, l_max+1) int32 VMEM planes fit; vmapped XLA otherwise."""
+    """Engine policy: on an accelerator, the fully fused round kernel
+    ('pk' — alignment + traceback + fusion on-core, ops/poa_fused_kernel)
+    whenever its VMEM planes fit; vmapped XLA otherwise.  'pk' strictly
+    dominates the per-round-'pallas' variant (same DP kernel, minus the
+    XLA traceback/fusion machinery PERF.md §5 isolated as the cost), so
+    'pallas' remains only as an explicit probe/test engine."""
     import jax as _jax
     if _jax.default_backend() == "cpu":
         return "xla"
-    vmem = 2 * (ncap + 1) * 8 * (l_max + 1) * 4
-    return "pallas" if vmem <= 100 * 1024 * 1024 else "xla"
+    # H + direction planes dominate; the graph-state blocks add ~2 MB
+    vmem = 2 * (ncap + 1) * 8 * (l_max + 1) * 4 + 4 * 1024 * 1024
+    return "pk" if vmem <= 100 * 1024 * 1024 else "xla"
 
 
 def _dispatch_build(seqs_a, lens_a, nseq_a, *, ncap: int, r_max: int,
@@ -533,10 +619,13 @@ def _dispatch_build(seqs_a, lens_a, nseq_a, *, ncap: int, r_max: int,
     the 'xla' engine, which GSPMD partitions along the window axis."""
     from ..parallel.dataparallel import data_mesh, shard_batch
     if engine is None:
-        engine = _pick_engine(ncap, l_max)
+        engine = (_os.environ.get("SVSCOPE_FUSED_ENGINE")    # probe knob
+                  or _pick_engine(ncap, l_max))
+    if engine in ("pallas", "pk") and jax.default_backend() == "cpu":
+        interpret = True               # pallas_call needs interpret on CPU
     mesh, axis = data_mesh()
     b = int(seqs_a.shape[0])
-    if engine == "pallas" and mesh is not None:
+    if engine in ("pallas", "pk") and mesh is not None:
         n = int(mesh.shape[axis])
         if b % (n * 8) == 0 and b // n >= 8:
             from jax.sharding import PartitionSpec as P
@@ -549,12 +638,15 @@ def _dispatch_build(seqs_a, lens_a, nseq_a, *, ncap: int, r_max: int,
                          P(axis, None, None), P(axis, None), P(axis, None),
                          P(axis), P(axis, None), P(axis), P(axis))
             dev = shard_batch((seqs_a, lens_a, nseq_a))
-            fn = shard_map(
-                functools.partial(_build_batch_impl, ncap=ncap, r_max=r_max,
-                                  l_max=l_max, engine="pallas",
-                                  interpret=interpret),
-                mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_vma=False)
+            impl = (functools.partial(_build_batch_impl_pk, ncap=ncap,
+                                      r_max=r_max, l_max=l_max,
+                                      interpret=interpret)
+                    if engine == "pk" else
+                    functools.partial(_build_batch_impl, ncap=ncap,
+                                      r_max=r_max, l_max=l_max,
+                                      engine="pallas", interpret=interpret))
+            fn = shard_map(impl, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
             return jax.jit(fn)(*dev)
         engine = "xla"
     return _build_batch(*shard_batch((seqs_a, lens_a, nseq_a)),
