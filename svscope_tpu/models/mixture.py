@@ -47,8 +47,12 @@ MAX_BATCH = 256                  # windows per device call
 # features) triple is a separate jit entry costing ~1.3 s of client-side
 # tracing/lowering per process (measured; the chromosome-scale harness
 # spent more time tracing fine-grained buckets than computing).  Padding
-# waste is device compute — cheap next to a single retrace.
-BATCH_LADDER = (32, 256)          # batch-axis shape buckets
+# waste is device compute — cheap next to a single retrace.  The 128 rung
+# exists because the production pipeline feeds EM in
+# engine/localgraph.PIPELINE_CHUNK = 128 sub-chunks (one EM batch bucket
+# exactly); without it every standard chunk padded to 256 — 2x the EM
+# device work for nothing.
+BATCH_LADDER = (32, 128, 256)     # batch-axis shape buckets
 SHAPE_LADDER = (16, 64, 256, 1024, 4096)   # feature-axis buckets
 READS_LADDER = (16, 64, 512)      # read-axis buckets (selection caps at 500)
 

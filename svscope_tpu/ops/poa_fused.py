@@ -420,29 +420,30 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
                          l_max: int, interpret: bool):
     """Round loop for the 'pk' engine: alignment + traceback + FUSION all
     inside one Pallas kernel per round (ops/poa_fused_kernel) — graph
-    state stays device-resident in the kernel's layouts; XLA keeps only
-    the canonical group-Kahn re-rank and the rank-space gathers.  Output
-    tuple identical to _build_batch_impl (same emission path, tested
-    identical)."""
-    from .poa_fused_kernel import GC_PAD, fused_round_call
+    state lives in the kernel's lane-structured (B, ncap, 128) layout and
+    stays device-resident; XLA keeps only the canonical group-Kahn
+    re-rank and the rank-space gathers.  Output tuple identical to
+    _build_batch_impl (same emission path, tested identical)."""
+    from .poa_fused_kernel import (GS_LANES, L_CH, L_GC, L_GM, L_OD, L_PN,
+                                   L_PT, L_PW, fused_round_call)
     B = seqs.shape[0]
     P = MAX_PREDS
+    n16 = -(-ncap // 16)
     sortv = jax.vmap(lambda p, g, n: _toposort(p, g, n, ncap))
     take = jax.vmap(lambda a, o: a[o])
 
     def round_body(r, st):
-        (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t,
-         outdeg_t, path) = st
+        nn, tctr, ovf, gs, path = st
         seq = seqs[:, r].astype(jnp.int32)            # (B, l_max)
         slen = lens[:, r].astype(jnp.int32)
-        order, rank, cyclic = sortv(pred, gmin_t.T, nn[:, 0])
-        chars_b = chars_t.T                           # (B, ncap)
+        pred = gs[..., L_PN:L_PN + P]
+        order, rank, cyclic = sortv(pred, gs[..., L_GM], nn[:, 0])
         rank_of = jax.vmap(
             lambda rk, p: jnp.where(p >= 0, rk[jnp.clip(p, 0, ncap - 1)],
                                     -1))(rank, pred)  # id->rank per slot
-        chars_r = take(chars_b, order)
+        chars_r = take(gs[..., L_CH], order)
         preds_r = take(rank_of, order)
-        sink_r = take((outdeg_t.T == 0).astype(jnp.int32), order)
+        sink_r = take((gs[..., L_OD] == 0).astype(jnp.int32), order)
         nn_eff = jnp.where(slen > 0, nn[:, 0], 0)
         ri = jnp.arange(ncap, dtype=jnp.int32)[None, :]
         single = preds_r[:, :, 1] < 0
@@ -452,36 +453,41 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
         chainw = (single & (first_prev | root0)) | inactive
         chain_all = (chainw.reshape(B // 8, 8, ncap).all(axis=1)
                      .astype(jnp.int32).reshape(B // 8, 1, ncap))
+        # pad slots duplicate slot 0 (unconditional branch-row gathers),
+        # then pack 16 rank-rows per 128-lane row (a pure reshape)
         predsp = jnp.where(preds_r < 0, preds_r[:, :, :1], preds_r)
+        pad_rows = n16 * 16 - ncap
+        if pad_rows:
+            predsp = jnp.concatenate(
+                [predsp, jnp.full((B, pad_rows, P), -1, jnp.int32)],
+                axis=1)
+        pred_packed = predsp.reshape(B, n16, 16 * P)
         seqv = jnp.full((B, l_max + 1), 255, jnp.int32)
         seqv = seqv.at[:, 1:].set(seq)
         ovf = ovf | cyclic.astype(jnp.int32).reshape(B, 1)
-        (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t,
-         outdeg_t, path_round) = fused_round_call(
-            chars_r, sink_r, predsp, chain_all, order, seqv, seq,
-            slen.reshape(B, 1), nn_eff.reshape(B, 1), nn, tctr, ovf,
-            pred, predw, predt, gchar, chars_t, gmin_t, outdeg_t,
+        nn, tctr, ovf, gs, path_round = fused_round_call(
+            chars_r, sink_r, pred_packed, chain_all, order, seqv, seq,
+            slen.reshape(B, 1), nn_eff.reshape(B, 1), nn, tctr, ovf, gs,
             ncap=ncap, n_max=ncap, l_max=l_max, interpret=interpret)
         path = path.at[:, r].set(path_round.T)
-        return (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t,
-                outdeg_t, path)
+        return nn, tctr, ovf, gs, path
 
+    gs0 = jnp.zeros((B, ncap, GS_LANES), jnp.int32)
+    gs0 = gs0.at[..., L_PN:L_PN + P].set(-1)
+    gs0 = gs0.at[..., L_GC:L_GC + 8].set(-1)
+    gs0 = gs0.at[..., L_GM].set(
+        jnp.arange(ncap, dtype=jnp.int32)[None, :])
     st0 = (jnp.zeros((B, 1), jnp.int32), jnp.zeros((B, 1), jnp.int32),
-           jnp.zeros((B, 1), jnp.int32),
-           jnp.full((B, ncap, P), -1, jnp.int32),
-           jnp.zeros((B, ncap, P), jnp.int32),
-           jnp.zeros((B, ncap, P), jnp.int32),
-           jnp.full((B, ncap, GC_PAD), -1, jnp.int32),
-           jnp.zeros((ncap, B), jnp.int32),
-           jnp.broadcast_to(jnp.arange(ncap, dtype=jnp.int32)[:, None],
-                            (ncap, B)),
-           jnp.zeros((ncap, B), jnp.int32),
+           jnp.zeros((B, 1), jnp.int32), gs0,
            jnp.full((B, r_max, l_max), -1, jnp.int32))
     rounds = jnp.max(jnp.asarray(n_seqs, jnp.int32))
-    (nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t, outdeg_t,
-     path) = jax.lax.fori_loop(jnp.int32(0), rounds, round_body, st0)
-    chars = chars_t.T
-    group_min = gmin_t.T
+    nn, tctr, ovf, gs, path = jax.lax.fori_loop(
+        jnp.int32(0), rounds, round_body, st0)
+    chars = gs[..., L_CH]
+    group_min = gs[..., L_GM]
+    pred = gs[..., L_PN:L_PN + P]
+    predw = gs[..., L_PW:L_PW + P]
+    predt = gs[..., L_PT:L_PT + P]
     n_nodes = nn[:, 0]
     order, _rank, cyclic = sortv(pred, group_min, n_nodes)
     overflow = (ovf[:, 0] > 0) | cyclic

@@ -15,10 +15,9 @@ they are cheap:
   * traceback is a per-window SCALAR walk over the VMEM direction plane
     (path length ~L steps of a few masked-lane extracts each — no batched
     while machinery, no (W, out_len) masked vector writes);
-  * fusion is the HOST algorithm verbatim (ops/poa.py::_fused_path
-    semantics): a sequential per-window walk over the ~L alignment
-    entries, updating the graph state (chars, preds, weights, stamps,
-    column membership) in place with row-granular VMEM read-modify-writes.
+  * fusion is the HOST algorithm verbatim (ops/poa.py fusion semantics):
+    a sequential per-window walk over the ~L alignment entries, updating
+    the graph state in place with row-granular VMEM read-modify-writes.
     Sequential scalar work is exactly what the XLA formulation could not
     express cheaply — on-core it is tens of ops per entry with no
     dispatch, gather-lowering or scatter-keyspace costs.
@@ -27,21 +26,20 @@ Graph state stays in HBM between rounds (the jitted round loop in
 ops/poa_fused passes it straight back in), so the host still touches the
 device exactly twice per bucket chunk.  The canonical group-Kahn re-rank
 (alignment-order parity + final MSA column order) remains the XLA
-`_toposort` between rounds — sequential-per-group in nature, it is the one
-piece the VPU formulation does not improve; see docs/PERF.md §6.
+`_toposort` between rounds.
 
-Layouts (per grid step, W = 8 windows; node-ID space for state, rank
-space for the DP — the per-round `order`/`rank` arrays translate):
-
-  mutable state   pred/predw/predt (W, ncap, P) VMEM, gchar (W, ncap, 5)
-                  VMEM — row reads/writes at [w, id, :];
-                  chars/gmin/outdeg (ncap, W) VMEM — lane-masked row RMW;
-                  nn/tctr/ovf (W, 1) SMEM scalars
-  DP inputs       rank-space chars/sinks (W, N) SMEM scalar reads,
-                  preds (W, N, P) VMEM, chain flags SMEM — identical to
-                  ops/poa_pallas; order (W, N) SMEM maps rank -> node id
-  outputs         state copies (kernel copies inputs forward, then
-                  mutates) + per-round (l_max, W) fused node-id path
+MEMORY LAYOUT (the part Mosaic dictates): VMEM lane dims pad to 128, so
+separate (W, ncap, 8) planes for preds/weights/stamps/gchar cost 16x
+their size and 15 of them OOM the 128 MB VMEM (measured: 168 MB for the
+bench bucket).  All mutable graph state is therefore ONE lane-structured
+(W, ncap, 128) int32 array `gs` — per node row: lanes [0,8) pred node
+ids, [8,16) pred weights, [16,24) pred stamps, [24,32) column-member-by-
+base (gchar, 5 used), lane 32 char, 33 group id, 34 out-degree.  One row
+read serves a whole fusion step; writes are single-row RMWs with lane
+masks.  The rank-space pred table is packed 16 nodes per 128-lane row
+((W, ceil(n_max/16), 128), a pure XLA reshape).  The per-round path
+output is a single (l_max, B) block with a constant index map,
+accumulated across grid steps (each step owns its 8 lanes).
 
 Every access pattern here (SMEM scalar reads at traced indices, VMEM
 dynamic-sublane row reads/writes, masked-lane extracts) is one already
@@ -70,7 +68,15 @@ NEG = np.int32(-(2 ** 29))
 W = 8
 MAX_PREDS = 8
 ALPHA5 = 5
-GC_PAD = 8           # gchar lane padding (VMEM rows like the pred tables)
+GS_LANES = 128
+# gs lane-field offsets
+L_PN = 0      # pred node ids      [0, 8)
+L_PW = 8      # pred weights       [8, 16)
+L_PT = 16     # pred stamps        [16, 24)
+L_GC = 24     # gchar by base      [24, 32), 5 used
+L_CH = 32     # node char
+L_GM = 33     # group (column) id
+L_OD = 34     # out-degree
 
 
 def _roll_right(v, s, fill):
@@ -97,23 +103,17 @@ def _exw(col, w):
     return jnp.sum(jnp.where(io == w, col, 0), dtype=col.dtype)
 
 
-def _set_lane(ref, row_idx, lane, val):
-    """ref[row_idx, lane] = val on a (rows, W) VMEM ref: row RMW with a
-    lane mask (dynamic-lane scalar stores are not lowerable; row ops are)."""
-    row = ref[pl.ds(row_idx, 1), :]
-    io = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    ref[pl.ds(row_idx, 1), :] = jnp.where(io == lane, val, row)
+def _pk_row(predsr_ref, w: int, r):
+    """(1, 128) packed pred row holding nodes [16*(r>>4), +16); node r's
+    8 slots live at lanes (r & 15)*8 .. +8."""
+    r32 = jnp.asarray(r, jnp.int32)
+    return predsr_ref[w, pl.ds(r32 // 16, 1), :].reshape(1, GS_LANES)
 
 
-def _get_lane(ref, row_idx, lane):
-    return _exs(ref[pl.ds(row_idx, 1), :], lane)
-
-
-def _set_slot(ref, w: int, row_idx, slot, val):
-    """ref[w, row_idx, slot] = val on a (W, ncap, P) VMEM ref."""
-    row = ref[w, pl.ds(row_idx, 1), :]
-    io = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    ref[w, pl.ds(row_idx, 1), :] = jnp.where(io == slot, val, row)
+def _pk_slot(prow, r, p):
+    """Rank of pred slot p of node-rank r from its packed row."""
+    r32 = jnp.asarray(r, jnp.int32)
+    return _exs(prow, (r32 % 16) * 8 + jnp.asarray(p, jnp.int32))
 
 
 def _fused_round_kernel(
@@ -121,15 +121,14 @@ def _fused_round_kernel(
         charsr_ref, sinksr_ref, predsr_ref, chain_ref, order_ref,
         seqv_ref, seqs_ref, lb_ref, nn_eff_ref,
         # state inputs (copied forward then mutated on the out refs)
-        nn_in, tctr_in, ovf_in, pred_in, predw_in, predt_in, gchar_in,
-        chars_in, gmin_in, outdeg_in,
+        nn_in, tctr_in, ovf_in, gs_in,
         # outputs
-        nn_out, tctr_out, ovf_out, pred_out, predw_out, predt_out,
-        gchar_out, chars_out, gmin_out, outdeg_out, path_ref,
+        nn_out, tctr_out, ovf_out, gs_out, path_ref,
         # scratch
         h_s, d_s, an_s, as_s,
         *, n_max: int, l_max: int, out_len: int):
     l1 = l_max + 1
+    gi = pl.program_id(0)
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
     j1 = j[0:1]
     lb_v = jnp.stack([lb_ref[k, 0] for k in range(W)]).reshape(W, 1)
@@ -143,26 +142,23 @@ def _fused_round_kernel(
         nn_out[w, 0] = nn_in[w, 0]
         tctr_out[w, 0] = tctr_in[w, 0]
         ovf_out[w, 0] = ovf_in[w, 0]
-    pred_out[:] = pred_in[:]
-    predw_out[:] = predw_in[:]
-    predt_out[:] = predt_in[:]
-    gchar_out[:] = gchar_in[:]
-    chars_out[:] = chars_in[:]
-    gmin_out[:] = gmin_in[:]
-    outdeg_out[:] = outdeg_in[:]
-    path_ref[:] = jnp.full((l_max, W), -1, jnp.int32)
-    an_s[:] = jnp.full((out_len, W), -2, jnp.int32)
-    as_s[:] = jnp.full((out_len, W), -2, jnp.int32)
+    gs_out[:] = gs_in[:]
+    an_s[:] = jnp.full(an_s.shape, -2, jnp.int32)
+    as_s[:] = jnp.full(as_s.shape, -2, jnp.int32)
+
+    # path is ONE (l_max, B) block shared by all grid steps (each owns its
+    # 8 lanes); initialize once
+    @pl.when(gi == 0)
+    def _():
+        path_ref[:] = jnp.full(path_ref.shape, -1, jnp.int32)
 
     # ---- phase 1: DP wavefront (ops/poa_pallas._poa_kernel row loop) ----
     h0 = jnp.where(j <= lb_v, GAP * j, NEG)
     h_s[0] = h0
 
-    def pred_h(pv, p, w):
-        pr = _exs(pv, p)
+    def pred_h(pr, w):
         prc = jnp.maximum(pr, -1) + 1
-        v = h_s[pl.ds(prc, 1), pl.ds(w, 1), :].reshape(1, l1)
-        return v, pr
+        return h_s[pl.ds(prc, 1), pl.ds(w, 1), :].reshape(1, l1)
 
     def row(i, carry):
         hprev, bval, brank = carry
@@ -191,8 +187,9 @@ def _fused_round_kernel(
         def branch_path(_):
             pred_rows, accs = [], []
             for w in range(W):
-                pv = predsr_ref[w, r, :].reshape(1, MAX_PREDS)
-                rows_w = [pred_h(pv, p, w)[0] for p in range(MAX_PREDS)]
+                prow = _pk_row(predsr_ref, w, r)
+                rows_w = [pred_h(_pk_slot(prow, r, p), w)
+                          for p in range(MAX_PREDS)]
                 acc = rows_w[0]
                 for p in range(1, MAX_PREDS):
                     acc = jnp.maximum(acc, rows_w[p])
@@ -236,26 +233,25 @@ def _fused_round_kernel(
 
     # ---- phase 2+3 per window: scalar traceback, then scalar fusion.
     # All ref writes are unconditional row read-modify-writes whose lane
-    # mask folds in the write gate — no ref effects inside cond/when branches
-    # (the only control flow around stores is fori/while, the patterns the
-    # compiled ops/poa_pallas kernel already exercises).
-    ncap = pred_out.shape[1]
+    # mask folds in the write gate — no ref effects inside cond/when
+    # branches; the only control flow around stores is fori/while.
+    ncap = gs_out.shape[1]
     trash = ncap - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GS_LANES), 1)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    laneB = jax.lax.broadcasted_iota(jnp.int32, (1, path_ref.shape[1]), 1)
 
-    def _set_lane_if(ref, row_idx, lane, val, gate):
-        row = ref[pl.ds(row_idx, 1), :]
-        io = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        ref[pl.ds(row_idx, 1), :] = jnp.where((io == lane) & gate, val, row)
+    def _setW(ref, row_idx, l, val):
+        rowv = ref[pl.ds(row_idx, 1), :]
+        ref[pl.ds(row_idx, 1), :] = jnp.where(laneW == l, val, rowv)
 
-    def _set_slot_if(ref, w, row_idx, slot, val, gate):
-        row = ref[w, pl.ds(row_idx, 1), :]
-        io = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        ref[w, pl.ds(row_idx, 1), :] = jnp.where((io == slot) & gate, val,
-                                                 row)
+    def _getW(ref, row_idx, l):
+        return _exs(ref[pl.ds(row_idx, 1), :], l)
 
     for w in range(W):
         lb_w = lb_ref[w, 0]
         nn_w = nn_eff_ref[w, 0]
+        gw = gi * W + w                        # global path lane
 
         # -- traceback: end -> start over the direction plane, writing the
         # right-aligned (node_rank, seq_pos) pairs exactly like the host
@@ -270,10 +266,9 @@ def _fused_round_kernel(
             is_left = code == 16
             is_up = (code >= 8) & (code < 16)
             p = jnp.where(is_left, 0, code & 7)
-            prow = predsr_ref[w, rr, :].reshape(1, MAX_PREDS)
-            pr = _exs(prow, p)
-            _set_lane(an_s, k, w, jnp.where(is_left, -1, i - 1))
-            _set_lane(as_s, k, w, jnp.where(is_up, -1, jv - 1))
+            pr = _pk_slot(_pk_row(predsr_ref, w, rr), rr, p)
+            _setW(an_s, k, w, jnp.where(is_left, -1, i - 1))
+            _setW(as_s, k, w, jnp.where(is_up, -1, jv - 1))
             i = jnp.where(is_left, i, pr + 1)
             jv = jnp.where(is_up, jv, jv - 1)
             return i, jv, k - 1
@@ -283,81 +278,97 @@ def _fused_round_kernel(
             return (jv > 0) & (k >= 0)
 
         i0 = jnp.where(nn_w > 0, _exw(brank, w) + 1, 0)
-        jax.lax.while_loop(tb_cond, tb_body,
-                           (i0, jnp.where(lb_w > 0, lb_w, 0),
-                            jnp.int32(out_len - 1)))
+        _fi, _fj, k_end = jax.lax.while_loop(
+            tb_cond, tb_body,
+            (i0, jnp.where(lb_w > 0, lb_w, 0), jnp.int32(out_len - 1)))
 
         # -- fusion: the host algorithm (ops/poa.py fusion semantics,
         # row-for-row with ops/poa_fused._fuse_alignment): walk entries
-        # left -> right, match into columns via gchar, create nodes and
-        # edges, record the read's node path.  Walk starts at the first
-        # written entry (k_end + 1 == out_len - emitted) and runs while
-        # k < out_len — trip count is the real path length, not out_len.
+        # left -> right, match into columns via the gchar lanes, create
+        # nodes and edges, record the read's node path.  The traceback's
+        # final k is one before the first written entry, so the trip
+        # count is the real path length.
         def fuse_cond(st):
-            k = st[0]
-            return k < out_len
+            return st[0] < out_len
 
         def fuse_body(st):
             k, prev, nn_c, tc, ovf = st
-            asp = _get_lane(as_s, k, w)
-            an = _get_lane(an_s, k, w)
-            valid = asp >= 0                     # -1 graph gap, -2 pad
+            asp = _getW(as_s, k, w)
+            an = _getW(an_s, k, w)
+            valid = asp >= 0                   # -1 graph gap, -2 pad
             sposc = jnp.clip(asp, 0, l_max - 1)
             c5 = seqs_ref[w, sposc]
             node = jnp.where(valid & (an >= 0),
                              order_ref[w, jnp.clip(an, 0, n_max - 1)], -1)
-            gid_old = _get_lane(gmin_out, jnp.clip(node, 0, trash), w)
-            grow = gchar_out[w, pl.ds(jnp.clip(gid_old, 0, trash), 1),
-                             :].reshape(1, GC_PAD)
-            pre = jnp.where(node >= 0, _exs(grow, c5), -1)
+            nrow = gs_out[w, pl.ds(jnp.clip(node, 0, trash), 1),
+                          :].reshape(1, GS_LANES)
+            gid_old = _exs(nrow, L_GM)
+            grow = gs_out[w, pl.ds(jnp.clip(gid_old, 0, trash), 1),
+                          :].reshape(1, GS_LANES)
+            pre = jnp.where(node >= 0, _exs(grow, L_GC + c5), -1)
             creator = valid & (pre < 0)
             ovf = ovf | (creator & (nn_c >= trash))
             newid = jnp.minimum(nn_c, jnp.int32(trash))
             cur = jnp.where(creator, newid, pre)
             gid = jnp.where(node >= 0, gid_old, newid)
-            _set_lane_if(chars_out, newid, w, c5, creator)
-            _set_lane_if(gmin_out, newid, w, gid, creator)
-            _set_slot_if(gchar_out, w, jnp.clip(gid, 0, trash), c5, newid,
-                         creator)
+            # new-node row: char + group id (+ own-column gchar when the
+            # node founds its column, i.e. gid == newid)
+            mrow = gs_out[w, pl.ds(newid, 1), :]
+            minit = ((lane == L_CH) | (lane == L_GM)
+                     | ((lane == L_GC + c5) & (gid == newid))) & creator
+            mval = jnp.where(lane == L_CH, c5,
+                             jnp.where(lane == L_GM, gid, newid))
+            gs_out[w, pl.ds(newid, 1), :] = jnp.where(minit, mval, mrow)
+            # joining an existing column: register in that column's gchar
+            joinc = creator & (node >= 0)
+            gidc = jnp.clip(gid, 0, trash)
+            grow2 = gs_out[w, pl.ds(gidc, 1), :]
+            gs_out[w, pl.ds(gidc, 1), :] = jnp.where(
+                (lane == L_GC + c5) & joinc, newid, grow2)
             nn_c = jnp.minimum(nn_c + creator.astype(jnp.int32),
                                jnp.int32(trash))
 
             # edge prev -> cur (at most one new in-edge per entry)
             add_e = valid & (prev >= 0)
             curc = jnp.clip(cur, 0, trash)
-            erow = pred_out[w, pl.ds(curc, 1), :].reshape(1, MAX_PREDS)
-            ehit = (erow == prev) & add_e
+            crow = gs_out[w, pl.ds(curc, 1), :].reshape(1, GS_LANES)
+            pn_lane = (lane >= L_PN) & (lane < L_PN + MAX_PREDS)
+            ehit = pn_lane & (crow == prev) & add_e
             has_e = jnp.any(ehit)
-            io8 = jax.lax.broadcasted_iota(jnp.int32, ehit.shape, 1)
-            eslot = jnp.min(jnp.where(ehit, io8, MAX_PREDS))
-            nvalid = jnp.sum((erow >= 0).astype(jnp.int32),
+            eslot = jnp.min(jnp.where(ehit, lane, MAX_PREDS)) - L_PN
+            eslot = jnp.clip(eslot, 0, MAX_PREDS - 1)
+            nvalid = jnp.sum((pn_lane & (crow >= 0)).astype(jnp.int32),
                              dtype=jnp.int32)
             ovf_e = add_e & (~has_e) & (nvalid >= MAX_PREDS)
             newe = add_e & (~has_e) & (~ovf_e)
             slot = jnp.where(has_e, eslot,
                              jnp.clip(nvalid, 0, MAX_PREDS - 1))
-            wrow = predw_out[w, pl.ds(curc, 1), :].reshape(1, MAX_PREDS)
-            w_old = _exs(wrow, slot)
+            w_old = _exs(crow, L_PW + slot)
             gate_e = has_e | newe
-            _set_slot_if(pred_out, w, curc, slot, prev, gate_e)
-            _set_slot_if(predw_out, w, curc, slot,
-                         jnp.where(has_e, w_old + 1, 1), gate_e)
-            _set_slot_if(predt_out, w, curc, slot, tc, newe)
+            em = ((lane == L_PN + slot) | (lane == L_PW + slot)
+                  | ((lane == L_PT + slot) & newe)) & gate_e
+            ev = jnp.where(lane == L_PN + slot, prev,
+                           jnp.where(lane == L_PW + slot,
+                                     jnp.where(has_e, w_old + 1, 1), tc))
+            crow2 = gs_out[w, pl.ds(curc, 1), :]
+            gs_out[w, pl.ds(curc, 1), :] = jnp.where(em, ev, crow2)
             prevc = jnp.clip(prev, 0, trash)
-            od = _get_lane(outdeg_out, prevc, w)
-            _set_lane_if(outdeg_out, prevc, w, od + 1, newe)
+            prow = gs_out[w, pl.ds(prevc, 1), :]
+            od = _exs(prow.reshape(1, GS_LANES), L_OD)
+            gs_out[w, pl.ds(prevc, 1), :] = jnp.where(
+                (lane == L_OD) & newe, od + 1, prow)
             tc = tc + newe.astype(jnp.int32)
             ovf = ovf | ovf_e
-            _set_lane_if(path_ref, sposc, w, cur, valid)
+            # path write (global lane gw of the shared (l_max, B) block)
+            prow2 = path_ref[pl.ds(sposc, 1), :]
+            path_ref[pl.ds(sposc, 1), :] = jnp.where(
+                (laneB == gw) & valid, cur, prow2)
             prev = jnp.where(valid, cur, prev)
             return k + 1, prev, nn_c, tc, ovf
 
-        # entries are right-aligned with -2 padding before them; the walk
-        # starts at 0 and skips pads (~6 ops each) — the real path begins
-        # at out_len - (lb + graph-gap count) and dominates the trip
         _k, _prev, nn_f, tc_f, ovf_f = jax.lax.while_loop(
             fuse_cond, fuse_body,
-            (jnp.int32(0), jnp.int32(-1), nn_in[w, 0], tctr_in[w, 0],
+            (k_end + 1, jnp.int32(-1), nn_in[w, 0], tctr_in[w, 0],
              ovf_in[w, 0] > 0))
         nn_out[w, 0] = nn_f
         tctr_out[w, 0] = tc_f
@@ -368,17 +379,17 @@ def _fused_round_kernel(
     jax.jit,
     static_argnames=("ncap", "n_max", "l_max", "interpret"))
 def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
-                     lb, nn_eff, nn, tctr, ovf, pred, predw, predt, gchar,
-                     chars_t, gmin_t, outdeg_t, *, ncap: int, n_max: int,
-                     l_max: int, interpret: bool = False):
+                     lb, nn_eff, nn, tctr, ovf, gs, *, ncap: int,
+                     n_max: int, l_max: int, interpret: bool = False):
     """One fused round over a (B, ...) batch; B must be a multiple of 8.
 
-    State layouts (XLA side): pred/predw/predt (B, ncap, P); gchar
-    (B, ncap, 5); chars_t/gmin_t/outdeg_t TRANSPOSED (ncap, B); scalars
-    (B, 1).  Returns the mutated state + the round's (l_max, B) path."""
+    gs: (B, ncap, 128) lane-structured graph state (see module doc).
+    predsr: (B, ceil(n_max/16), 128) packed rank-space pred table.
+    Returns (nn, tctr, ovf, gs, path) with path (l_max, B)."""
     B = charsr.shape[0]
     out_len = n_max + l_max
     l1 = l_max + 1
+    n16 = predsr.shape[1]
     kernel = functools.partial(_fused_round_kernel, n_max=n_max,
                                l_max=l_max, out_len=out_len)
     grid = (B // W,)
@@ -388,7 +399,7 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
     in_specs = [
         bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # charsr
         bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # sinksr
-        bs((W, n_max, MAX_PREDS), lambda i: (i, 0, 0),
+        bs((W, n16, GS_LANES), lambda i: (i, 0, 0),
            memory_space=vm),                                      # predsr
         bs((1, 1, n_max), lambda i: (i, 0, 0), memory_space=sm),  # chain
         bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # order
@@ -399,45 +410,22 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # nn
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # tctr
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # ovf
-        bs((W, ncap, MAX_PREDS), lambda i: (i, 0, 0),
-           memory_space=vm),                                      # pred
-        bs((W, ncap, MAX_PREDS), lambda i: (i, 0, 0),
-           memory_space=vm),                                      # predw
-        bs((W, ncap, MAX_PREDS), lambda i: (i, 0, 0),
-           memory_space=vm),                                      # predt
-        bs((W, ncap, GC_PAD), lambda i: (i, 0, 0),
-           memory_space=vm),                                      # gchar
-        bs((ncap, W), lambda i: (0, i), memory_space=vm),         # chars_t
-        bs((ncap, W), lambda i: (0, i), memory_space=vm),         # gmin_t
-        bs((ncap, W), lambda i: (0, i), memory_space=vm),         # outdeg_t
+        bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
+           memory_space=vm),                                      # gs
     ]
     out_specs = [
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # nn
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # tctr
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # ovf
-        bs((W, ncap, MAX_PREDS), lambda i: (i, 0, 0),
-           memory_space=vm),
-        bs((W, ncap, MAX_PREDS), lambda i: (i, 0, 0),
-           memory_space=vm),
-        bs((W, ncap, MAX_PREDS), lambda i: (i, 0, 0),
-           memory_space=vm),
-        bs((W, ncap, GC_PAD), lambda i: (i, 0, 0), memory_space=vm),
-        bs((ncap, W), lambda i: (0, i), memory_space=vm),
-        bs((ncap, W), lambda i: (0, i), memory_space=vm),
-        bs((ncap, W), lambda i: (0, i), memory_space=vm),
-        bs((l_max, W), lambda i: (0, i), memory_space=vm),        # path
+        bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
+           memory_space=vm),                                      # gs
+        bs((l_max, B), lambda i: (0, 0), memory_space=vm),        # path
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, ncap, MAX_PREDS), jnp.int32),
-        jax.ShapeDtypeStruct((B, ncap, MAX_PREDS), jnp.int32),
-        jax.ShapeDtypeStruct((B, ncap, MAX_PREDS), jnp.int32),
-        jax.ShapeDtypeStruct((B, ncap, GC_PAD), jnp.int32),
-        jax.ShapeDtypeStruct((ncap, B), jnp.int32),
-        jax.ShapeDtypeStruct((ncap, B), jnp.int32),
-        jax.ShapeDtypeStruct((ncap, B), jnp.int32),
+        jax.ShapeDtypeStruct((B, ncap, GS_LANES), jnp.int32),
         jax.ShapeDtypeStruct((l_max, B), jnp.int32),
     ]
     return pl.pallas_call(
@@ -456,4 +444,4 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(charsr, sinksr, predsr, chain, order, seqv, seqs5, lb, nn_eff,
-      nn, tctr, ovf, pred, predw, predt, gchar, chars_t, gmin_t, outdeg_t)
+      nn, tctr, ovf, gs)
