@@ -424,7 +424,7 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
     stays device-resident; XLA keeps only the canonical group-Kahn
     re-rank and the rank-space gathers.  Output tuple identical to
     _build_batch_impl (same emission path, tested identical)."""
-    from .poa_fused_kernel import (GS_LANES, L_CH, L_GC, L_GM, L_OD, L_PN,
+    from .poa_fused_kernel import (GS_LANES, L_CH, L_GC, L_GM, L_PN,
                                    L_PT, L_PW, fused_round_call)
     B = seqs.shape[0]
     P = MAX_PREDS
@@ -443,7 +443,19 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
                                     -1))(rank, pred)  # id->rank per slot
         chars_r = take(gs[..., L_CH], order)
         preds_r = take(rank_of, order)
-        sink_r = take((gs[..., L_OD] == 0).astype(jnp.int32), order)
+        gminr = take(gs[..., L_GM], order)
+        # sinks from out-degrees (XLA segment sum; the kernel no longer
+        # tracks out-degree — one less RMW per fused entry)
+        ids = jnp.arange(ncap, dtype=jnp.int32)
+
+        def outdeg_of(pred_b, nn_b):
+            vals = ((pred_b >= 0)
+                    & (ids[:, None] < nn_b)).astype(jnp.int32).ravel()
+            return jax.ops.segment_sum(
+                vals, jnp.clip(pred_b, 0, ncap - 1).ravel(),
+                num_segments=ncap)
+        outdeg = jax.vmap(outdeg_of)(pred, nn[:, 0])
+        sink_r = take((outdeg == 0).astype(jnp.int32), order)
         nn_eff = jnp.where(slen > 0, nn[:, 0], 0)
         ri = jnp.arange(ncap, dtype=jnp.int32)[None, :]
         single = preds_r[:, :, 1] < 0
@@ -466,10 +478,10 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
         seqv = seqv.at[:, 1:].set(seq)
         ovf = ovf | cyclic.astype(jnp.int32).reshape(B, 1)
         nn, tctr, ovf, gs, path_round = fused_round_call(
-            chars_r, sink_r, pred_packed, chain_all, order, seqv, seq,
-            slen.reshape(B, 1), nn_eff.reshape(B, 1), nn, tctr, ovf, gs,
-            ncap=ncap, n_max=ncap, l_max=l_max, interpret=interpret)
-        path = path.at[:, r].set(path_round.T)
+            chars_r, sink_r, pred_packed, chain_all, order, gminr, seqv,
+            seq, slen.reshape(B, 1), nn_eff.reshape(B, 1), nn, tctr, ovf,
+            gs, ncap=ncap, n_max=ncap, l_max=l_max, interpret=interpret)
+        path = path.at[:, r].set(path_round)
         return nn, tctr, ovf, gs, path
 
     gs0 = jnp.zeros((B, ncap, GS_LANES), jnp.int32)

@@ -119,16 +119,16 @@ def _pk_slot(prow, r, p):
 def _fused_round_kernel(
         # rank-space DP inputs (read-only)
         charsr_ref, sinksr_ref, predsr_ref, chain_ref, order_ref,
-        seqv_ref, seqs_ref, lb_ref, nn_eff_ref,
+        gminr_ref, seqv_ref, seqs_ref, lb_ref, nn_eff_ref,
         # state inputs (copied forward then mutated on the out refs)
         nn_in, tctr_in, ovf_in, gs_in,
         # outputs
         nn_out, tctr_out, ovf_out, gs_out, path_ref,
         # scratch
-        h_s, d_s, an_s, as_s,
+        h_s, d_s,
         *, n_max: int, l_max: int, out_len: int):
     l1 = l_max + 1
-    gi = pl.program_id(0)
+
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
     j1 = j[0:1]
     lb_v = jnp.stack([lb_ref[k, 0] for k in range(W)]).reshape(W, 1)
@@ -143,14 +143,6 @@ def _fused_round_kernel(
         tctr_out[w, 0] = tctr_in[w, 0]
         ovf_out[w, 0] = ovf_in[w, 0]
     gs_out[:] = gs_in[:]
-    an_s[:] = jnp.full(an_s.shape, -2, jnp.int32)
-    as_s[:] = jnp.full(as_s.shape, -2, jnp.int32)
-
-    # path is ONE (l_max, B) block shared by all grid steps (each owns its
-    # 8 lanes); initialize once
-    @pl.when(gi == 0)
-    def _():
-        path_ref[:] = jnp.full(path_ref.shape, -1, jnp.int32)
 
     # ---- phase 1: DP wavefront (ops/poa_pallas._poa_kernel row loop) ----
     h0 = jnp.where(j <= lb_v, GAP * j, NEG)
@@ -231,112 +223,122 @@ def _fused_round_kernel(
         jnp.int32(1), (nn_max_t + 1).astype(jnp.int32), row,
         (h0, bval0, brank0))
 
-    # ---- phase 2+3 per window: scalar traceback, then scalar fusion.
-    # All ref writes are unconditional row read-modify-writes whose lane
-    # mask folds in the write gate — no ref effects inside cond/when
-    # branches; the only control flow around stores is fori/while.
+    # ---- phase 2: W-JOINT traceback (the round-3 kernel's walk: all 8
+    # windows step simultaneously with (W, .) value state — measured ~8x
+    # cheaper than per-window scalar walks, whose ~0.6 us/iteration loop
+    # overhead dominated).  An empty graph (nn == 0, lb > 0) starts at the
+    # virtual row and emits the all-gap alignment == the chain init.
     ncap = gs_out.shape[1]
     trash = ncap - 1
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, GS_LANES), 1)
-    laneW = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    laneB = jax.lax.broadcasted_iota(jnp.int32, (1, path_ref.shape[1]), 1)
+    io_out = jax.lax.broadcasted_iota(jnp.int32, (W, out_len), 1)
+    lane128w = jax.lax.broadcasted_iota(jnp.int32, (W, GS_LANES), 1)
 
-    def _setW(ref, row_idx, l, val):
-        rowv = ref[pl.ds(row_idx, 1), :]
-        ref[pl.ds(row_idx, 1), :] = jnp.where(laneW == l, val, rowv)
+    def tb_cond(st):
+        iv, jv, kv, _an, _as = st
+        return ((jv > 0) & (kv >= 0)).any()
 
-    def _getW(ref, row_idx, l):
-        return _exs(ref[pl.ds(row_idx, 1), :], l)
+    def tb_body(st):
+        iv, jv, kv, an, asx = st
+        active = (jv > 0) & (kv >= 0)                    # (W, 1)
+        rr = jnp.maximum(iv - 1, 0)                      # (W, 1)
+        drows = jnp.concatenate(
+            [d_s[pl.ds(_exw(rr, w), 1), pl.ds(w, 1), :].reshape(1, l1)
+             for w in range(W)], axis=0)                 # (W, l1)
+        d = jnp.sum(jnp.where(j == jv, drows, 0), axis=1, keepdims=True,
+                    dtype=jnp.int32)
+        code = jnp.where(iv == 0, 16, d)                 # (W, 1)
+        is_left = code == 16
+        is_up = (code >= 8) & (code < 16)
+        p = jnp.where(is_left, 0, code & 7)
+        prows = jnp.concatenate(
+            [_pk_row(predsr_ref, w, _exw(rr, w)) for w in range(W)],
+            axis=0)                                      # (W, 128)
+        lpos = (rr % 16) * 8 + p                         # (W, 1)
+        pr = jnp.sum(jnp.where(lane128w == lpos, prows, 0), axis=1,
+                     keepdims=True, dtype=jnp.int32)
+        write = active & (io_out == kv)
+        an = jnp.where(write, jnp.where(is_left, -1, iv - 1), an)
+        asx = jnp.where(write, jnp.where(is_up, -1, jv - 1), asx)
+        iv = jnp.where(active, jnp.where(is_left, iv, pr + 1), iv)
+        jv = jnp.where(active, jnp.where(is_up, jv, jv - 1), jv)
+        kv = jnp.where(active, kv - 1, kv)
+        return (iv, jv, kv, an, asx)
 
+    i0 = jnp.where(nn_v > 0, brank + 1, 0)
+    st_tb = (i0, lb_v, jnp.full((W, 1), out_len - 1, jnp.int32),
+             jnp.full((W, out_len), -2, jnp.int32),
+             jnp.full((W, out_len), -2, jnp.int32))
+    _iv, _jv, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body, st_tb)
+
+    # ---- phase 3 per window: sequential fusion (the host algorithm,
+    # ops/poa.py semantics, row-for-row with ops/poa_fused's vectorized
+    # XLA version).  Trimmed to ~3 dynamic VMEM row accesses per entry:
+    # the alignment is VALUE state from the traceback, the matched node's
+    # column id comes from the pre-round rank-space gmin in SMEM (fusion
+    # never rewrites an existing node's group), the read path is value
+    # state written once per window, and all conditional state writes sit
+    # under pl.when so matched-entry steps skip the creator RMWs.
+    lpath = jax.lax.broadcasted_iota(jnp.int32, (1, l_max), 1)
     for w in range(W):
-        lb_w = lb_ref[w, 0]
-        nn_w = nn_eff_ref[w, 0]
-        gw = gi * W + w                        # global path lane
+        an_w = an[w:w + 1, :]
+        as_w = asx[w:w + 1, :]
+        k_end = _exw(kv, w)
 
-        # -- traceback: end -> start over the direction plane, writing the
-        # right-aligned (node_rank, seq_pos) pairs exactly like the host
-        # walk (ops/poa_device._align_one).  An empty graph (nn == 0 with
-        # a non-empty read) starts at the virtual row and emits the
-        # all-gap alignment, which IS the chain init.
-        def tb_body(st):
-            i, jv, k = st
-            rr = jnp.maximum(i - 1, 0)
-            drow = d_s[pl.ds(rr, 1), pl.ds(w, 1), :].reshape(1, l1)
-            code = jnp.where(i == 0, 16, _exs(drow, jv))
-            is_left = code == 16
-            is_up = (code >= 8) & (code < 16)
-            p = jnp.where(is_left, 0, code & 7)
-            pr = _pk_slot(_pk_row(predsr_ref, w, rr), rr, p)
-            _setW(an_s, k, w, jnp.where(is_left, -1, i - 1))
-            _setW(as_s, k, w, jnp.where(is_up, -1, jv - 1))
-            i = jnp.where(is_left, i, pr + 1)
-            jv = jnp.where(is_up, jv, jv - 1)
-            return i, jv, k - 1
-
-        def tb_cond(st):
-            _i, jv, k = st
-            return (jv > 0) & (k >= 0)
-
-        i0 = jnp.where(nn_w > 0, _exw(brank, w) + 1, 0)
-        _fi, _fj, k_end = jax.lax.while_loop(
-            tb_cond, tb_body,
-            (i0, jnp.where(lb_w > 0, lb_w, 0), jnp.int32(out_len - 1)))
-
-        # -- fusion: the host algorithm (ops/poa.py fusion semantics,
-        # row-for-row with ops/poa_fused._fuse_alignment): walk entries
-        # left -> right, match into columns via the gchar lanes, create
-        # nodes and edges, record the read's node path.  The traceback's
-        # final k is one before the first written entry, so the trip
-        # count is the real path length.
         def fuse_cond(st):
             return st[0] < out_len
 
         def fuse_body(st):
-            k, prev, nn_c, tc, ovf = st
-            asp = _getW(as_s, k, w)
-            an = _getW(an_s, k, w)
-            valid = asp >= 0                   # -1 graph gap, -2 pad
-            sposc = jnp.clip(asp, 0, l_max - 1)
+            k, prev, nn_c, tc, ovf, path_w = st
+            aspv = _exs(as_w, k)
+            anv = _exs(an_w, k)
+            valid = aspv >= 0                  # -1 graph gap, -2 pad
+            sposc = jnp.clip(aspv, 0, l_max - 1)
             c5 = seqs_ref[w, sposc]
-            node = jnp.where(valid & (an >= 0),
-                             order_ref[w, jnp.clip(an, 0, n_max - 1)], -1)
-            nrow = gs_out[w, pl.ds(jnp.clip(node, 0, trash), 1),
+            has_node = valid & (anv >= 0)
+            anc = jnp.clip(anv, 0, n_max - 1)
+            gid_old = gminr_ref[w, anc]        # pre-round gmin by rank
+            grow = gs_out[w, pl.ds(jnp.clip(jnp.where(has_node, gid_old,
+                                                      0), 0, trash), 1),
                           :].reshape(1, GS_LANES)
-            gid_old = _exs(nrow, L_GM)
-            grow = gs_out[w, pl.ds(jnp.clip(gid_old, 0, trash), 1),
-                          :].reshape(1, GS_LANES)
-            pre = jnp.where(node >= 0, _exs(grow, L_GC + c5), -1)
+            pre = jnp.where(has_node, _exs(grow, L_GC + c5), -1)
             creator = valid & (pre < 0)
             ovf = ovf | (creator & (nn_c >= trash))
             newid = jnp.minimum(nn_c, jnp.int32(trash))
             cur = jnp.where(creator, newid, pre)
-            gid = jnp.where(node >= 0, gid_old, newid)
-            # new-node row: char + group id (+ own-column gchar when the
-            # node founds its column, i.e. gid == newid)
-            mrow = gs_out[w, pl.ds(newid, 1), :]
-            minit = ((lane == L_CH) | (lane == L_GM)
-                     | ((lane == L_GC + c5) & (gid == newid))) & creator
-            mval = jnp.where(lane == L_CH, c5,
-                             jnp.where(lane == L_GM, gid, newid))
-            gs_out[w, pl.ds(newid, 1), :] = jnp.where(minit, mval, mrow)
-            # joining an existing column: register in that column's gchar
-            joinc = creator & (node >= 0)
-            gidc = jnp.clip(gid, 0, trash)
-            grow2 = gs_out[w, pl.ds(gidc, 1), :]
-            gs_out[w, pl.ds(gidc, 1), :] = jnp.where(
-                (lane == L_GC + c5) & joinc, newid, grow2)
+            gid = jnp.where(has_node, gid_old, newid)
+
+            @pl.when(creator)
+            def _():
+                mrow = gs_out[w, pl.ds(newid, 1), :]
+                minit = ((lane == L_CH) | (lane == L_GM)
+                         | ((lane == L_GC + c5) & (gid == newid)))
+                mval = jnp.where(lane == L_CH, c5,
+                                 jnp.where(lane == L_GM, gid, newid))
+                gs_out[w, pl.ds(newid, 1), :] = jnp.where(minit, mval,
+                                                          mrow)
+
+            @pl.when(creator & has_node)       # joins an existing column
+            def _():
+                gidc = jnp.clip(gid, 0, trash)
+                grow2 = gs_out[w, pl.ds(gidc, 1), :]
+                gs_out[w, pl.ds(gidc, 1), :] = jnp.where(
+                    lane == L_GC + c5, newid, grow2)
+
             nn_c = jnp.minimum(nn_c + creator.astype(jnp.int32),
                                jnp.int32(trash))
 
-            # edge prev -> cur (at most one new in-edge per entry)
+            # edge prev -> cur (at most one new in-edge per entry); the
+            # row read happens AFTER the creator writes (cur may BE the
+            # new node)
             add_e = valid & (prev >= 0)
             curc = jnp.clip(cur, 0, trash)
             crow = gs_out[w, pl.ds(curc, 1), :].reshape(1, GS_LANES)
             pn_lane = (lane >= L_PN) & (lane < L_PN + MAX_PREDS)
-            ehit = pn_lane & (crow == prev) & add_e
-            has_e = jnp.any(ehit)
-            eslot = jnp.min(jnp.where(ehit, lane, MAX_PREDS)) - L_PN
-            eslot = jnp.clip(eslot, 0, MAX_PREDS - 1)
+            ehit = pn_lane & (crow == prev)
+            has_e = add_e & jnp.any(ehit)
+            eslot = jnp.clip(jnp.min(jnp.where(ehit, lane, MAX_PREDS))
+                             - L_PN, 0, MAX_PREDS - 1)
             nvalid = jnp.sum((pn_lane & (crow >= 0)).astype(jnp.int32),
                              dtype=jnp.int32)
             ovf_e = add_e & (~has_e) & (nvalid >= MAX_PREDS)
@@ -344,32 +346,28 @@ def _fused_round_kernel(
             slot = jnp.where(has_e, eslot,
                              jnp.clip(nvalid, 0, MAX_PREDS - 1))
             w_old = _exs(crow, L_PW + slot)
-            gate_e = has_e | newe
-            em = ((lane == L_PN + slot) | (lane == L_PW + slot)
-                  | ((lane == L_PT + slot) & newe)) & gate_e
-            ev = jnp.where(lane == L_PN + slot, prev,
-                           jnp.where(lane == L_PW + slot,
-                                     jnp.where(has_e, w_old + 1, 1), tc))
-            crow2 = gs_out[w, pl.ds(curc, 1), :]
-            gs_out[w, pl.ds(curc, 1), :] = jnp.where(em, ev, crow2)
-            prevc = jnp.clip(prev, 0, trash)
-            prow = gs_out[w, pl.ds(prevc, 1), :]
-            od = _exs(prow.reshape(1, GS_LANES), L_OD)
-            gs_out[w, pl.ds(prevc, 1), :] = jnp.where(
-                (lane == L_OD) & newe, od + 1, prow)
+
+            @pl.when(has_e | newe)
+            def _():
+                em = ((lane == L_PN + slot) | (lane == L_PW + slot)
+                      | ((lane == L_PT + slot) & newe))
+                ev = jnp.where(lane == L_PN + slot, prev,
+                               jnp.where(lane == L_PW + slot,
+                                         jnp.where(has_e, w_old + 1, 1),
+                                         tc))
+                gs_out[w, pl.ds(curc, 1), :] = jnp.where(em, ev, crow)
+
             tc = tc + newe.astype(jnp.int32)
             ovf = ovf | ovf_e
-            # path write (global lane gw of the shared (l_max, B) block)
-            prow2 = path_ref[pl.ds(sposc, 1), :]
-            path_ref[pl.ds(sposc, 1), :] = jnp.where(
-                (laneB == gw) & valid, cur, prow2)
+            path_w = jnp.where(valid & (lpath == sposc), cur, path_w)
             prev = jnp.where(valid, cur, prev)
-            return k + 1, prev, nn_c, tc, ovf
+            return k + 1, prev, nn_c, tc, ovf, path_w
 
-        _k, _prev, nn_f, tc_f, ovf_f = jax.lax.while_loop(
-            fuse_cond, fuse_body,
-            (k_end + 1, jnp.int32(-1), nn_in[w, 0], tctr_in[w, 0],
-             ovf_in[w, 0] > 0))
+        st_f = (k_end + 1, jnp.int32(-1), nn_in[w, 0], tctr_in[w, 0],
+                ovf_in[w, 0] > 0, jnp.full((1, l_max), -1, jnp.int32))
+        _k, _prev, nn_f, tc_f, ovf_f, path_w = jax.lax.while_loop(
+            fuse_cond, fuse_body, st_f)
+        path_ref[pl.ds(w, 1), :] = path_w
         nn_out[w, 0] = nn_f
         tctr_out[w, 0] = tc_f
         ovf_out[w, 0] = ovf_f.astype(jnp.int32)
@@ -378,14 +376,16 @@ def _fused_round_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("ncap", "n_max", "l_max", "interpret"))
-def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
-                     lb, nn_eff, nn, tctr, ovf, gs, *, ncap: int,
+def fused_round_call(charsr, sinksr, predsr, chain, order, gminr, seqv,
+                     seqs5, lb, nn_eff, nn, tctr, ovf, gs, *, ncap: int,
                      n_max: int, l_max: int, interpret: bool = False):
     """One fused round over a (B, ...) batch; B must be a multiple of 8.
 
     gs: (B, ncap, 128) lane-structured graph state (see module doc).
     predsr: (B, ceil(n_max/16), 128) packed rank-space pred table.
-    Returns (nn, tctr, ovf, gs, path) with path (l_max, B)."""
+    gminr: (B, n_max) pre-round group ids in RANK space (fusion's match
+    lookup; never rewritten for existing nodes, so SMEM-safe).
+    Returns (nn, tctr, ovf, gs, path) with path (B, l_max)."""
     B = charsr.shape[0]
     out_len = n_max + l_max
     l1 = l_max + 1
@@ -403,6 +403,7 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
            memory_space=vm),                                      # predsr
         bs((1, 1, n_max), lambda i: (i, 0, 0), memory_space=sm),  # chain
         bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # order
+        bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # gminr
         bs((W, l1), lambda i: (i, 0), memory_space=vm),           # seqv
         bs((W, l_max), lambda i: (i, 0), memory_space=sm),        # seqs5
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # lb
@@ -419,14 +420,14 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
         bs((W, 1), lambda i: (i, 0), memory_space=sm),            # ovf
         bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
            memory_space=vm),                                      # gs
-        bs((l_max, B), lambda i: (0, 0), memory_space=vm),        # path
+        bs((W, l_max), lambda i: (i, 0), memory_space=vm),        # path
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, ncap, GS_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((l_max, B), jnp.int32),
+        jax.ShapeDtypeStruct((B, l_max), jnp.int32),
     ]
     return pl.pallas_call(
         kernel,
@@ -437,11 +438,9 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, seqv, seqs5,
         scratch_shapes=[
             pltpu.VMEM((n_max + 1, W, l1), jnp.int32),   # H
             pltpu.VMEM((n_max, W, l1), jnp.int32),       # directions
-            pltpu.VMEM((out_len, W), jnp.int32),         # aln nodes
-            pltpu.VMEM((out_len, W), jnp.int32),         # aln spos
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(charsr, sinksr, predsr, chain, order, seqv, seqs5, lb, nn_eff,
-      nn, tctr, ovf, gs)
+    )(charsr, sinksr, predsr, chain, order, gminr, seqv, seqs5, lb,
+      nn_eff, nn, tctr, ovf, gs)
