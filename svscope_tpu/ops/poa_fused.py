@@ -465,6 +465,10 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
         chainw = (single & (first_prev | root0)) | inactive
         chain_all = (chainw.reshape(B // 8, 8, ncap).all(axis=1)
                      .astype(jnp.int32).reshape(B // 8, 1, ncap))
+        import os as _os2
+        if _os2.environ.get("SVSCOPE_PK_ABLATE") == "dpc":
+            # probe: force every row down the cheap chain path
+            chain_all = jnp.ones_like(chain_all)
         # pad slots duplicate slot 0 (unconditional branch-row gathers),
         # then pack 16 rank-rows per 128-lane row (a pure reshape)
         predsp = jnp.where(preds_r < 0, preds_r[:, :, :1], preds_r)

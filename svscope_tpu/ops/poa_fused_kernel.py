@@ -126,7 +126,8 @@ def _fused_round_kernel(
         nn_out, tctr_out, ovf_out, gs_out, path_ref,
         # scratch
         h_s, d_s,
-        *, n_max: int, l_max: int, out_len: int):
+        *, n_max: int, l_max: int, out_len: int,
+        ablate: str = ""):
     l1 = l_max + 1
 
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
@@ -265,11 +266,22 @@ def _fused_round_kernel(
         kv = jnp.where(active, kv - 1, kv)
         return (iv, jv, kv, an, asx)
 
+    if ablate.startswith("dp"):   # probe: stop after DP (results WRONG;
+        # nn grows artificially so later rounds run realistic row counts)
+        for w in range(W):
+            lbw = lb_ref[w, 0]
+            grow_n = jnp.where(nn_in[w, 0] == 0, lbw,
+                               jnp.maximum(lbw // 16, 1))
+            nn_out[w, 0] = jnp.minimum(nn_in[w, 0] + grow_n,
+                                       jnp.int32(ncap - 1))
+        return
     i0 = jnp.where(nn_v > 0, brank + 1, 0)
     st_tb = (i0, lb_v, jnp.full((W, 1), out_len - 1, jnp.int32),
              jnp.full((W, out_len), -2, jnp.int32),
              jnp.full((W, out_len), -2, jnp.int32))
     _iv, _jv, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body, st_tb)
+    if ablate == "tb":        # probe: stop after traceback (results WRONG)
+        return
 
     # ---- phase 3 per window: sequential fusion (the host algorithm,
     # ops/poa.py semantics, row-for-row with ops/poa_fused's vectorized
@@ -390,8 +402,11 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, gminr, seqv,
     out_len = n_max + l_max
     l1 = l_max + 1
     n16 = predsr.shape[1]
+    import os as _os
     kernel = functools.partial(_fused_round_kernel, n_max=n_max,
-                               l_max=l_max, out_len=out_len)
+                               l_max=l_max, out_len=out_len,
+                               ablate=_os.environ.get("SVSCOPE_PK_ABLATE",
+                                                      ""))
     grid = (B // W,)
     sm = pltpu.SMEM
     vm = pltpu.VMEM
