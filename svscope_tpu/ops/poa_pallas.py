@@ -50,7 +50,14 @@ MATCH = 5
 MISMATCH = -4
 GAP = -8
 NEG = np.int32(-(2 ** 29))
-W = 8               # windows per grid step (sublane count)
+W = 8               # windows per grid step (sublane count, int32 tile)
+W16 = 16            # windows per grid step for the int16 variant: int16
+                    # tiles are (16, 128), so 16 sublanes must be filled
+                    # for the halved vreg traffic to materialize
+NEG16 = np.int16(-20000)   # int16 sentinel; legit scores are bounded by
+                           # -8*(n_max + l_max) >= -16384 at the gated
+                           # shapes (n_max, l_max <= 1024), so additions
+                           # like NEG16 + GAP never wrap
 MAX_PREDS = 8
 
 
@@ -59,10 +66,10 @@ def _roll_right(v, s, fill):
     return jnp.where(j >= s, pltpu.roll(v, s, axis=1), fill)
 
 
-def _prefix_max(v):
+def _prefix_max(v, neg=NEG):
     s = 1
     while s < v.shape[-1]:
-        v = jnp.maximum(v, _roll_right(v, s, NEG))
+        v = jnp.maximum(v, _roll_right(v, s, neg))
         s *= 2
     return v
 
@@ -82,17 +89,19 @@ def _exw(col, w):
 def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                 chain_ref, an_ref, as_ref, ke_ref, sc_ref,
                 h_s, d_s, *, n_max: int, l_max: int, out_len: int,
-                chain_only: bool):
+                chain_only: bool, wn: int = W, sdt=jnp.int32,
+                neg=NEG):
     l1 = l_max + 1
-    j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (wn, l1), 1)
     j1 = j[0:1]                                       # (1, l1)
-    lb_v = jnp.stack([lb_ref[k, 0] for k in range(W)]).reshape(W, 1)
-    nn_v = jnp.stack([nn_ref[k, 0] for k in range(W)]).reshape(W, 1)
+    lb_v = jnp.stack([lb_ref[k, 0] for k in range(wn)]).reshape(wn, 1)
+    nn_v = jnp.stack([nn_ref[k, 0] for k in range(wn)]).reshape(wn, 1)
     nn_max = jnp.max(nn_v)
-    seq = seq_ref[:]                                  # (W, l1), lane0 junk
-    decay = GAP * j
+    seq = seq_ref[:]                                  # (wn, l1), lane0 junk
+    neg = jnp.asarray(neg, sdt)
+    decay = (GAP * j).astype(sdt)
 
-    h0 = jnp.where(j <= lb_v, GAP * j, NEG)
+    h0 = jnp.where(j <= lb_v, decay, neg)
     h_s[0] = h0
 
     def preds_row(w, r):
@@ -118,20 +127,22 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         # per-row node char + sink flag: 2x8 scalar SMEM reads (the
         # previous (W, n_max) masked-sum formulation cost O(W*N) vector
         # work per row — O(W*N^2) over the kernel)
-        ch = jnp.stack([chars_ref[k, r] for k in range(W)]).reshape(W, 1)
-        snk = jnp.stack([sinks_ref[k, r] for k in range(W)]).reshape(W, 1)
-        sub = jnp.where(seq == ch, MATCH, MISMATCH)   # (W, l1)
+        ch = jnp.stack([chars_ref[k, r] for k in range(wn)]).reshape(wn, 1)
+        snk = jnp.stack([sinks_ref[k, r]
+                         for k in range(wn)]).reshape(wn, 1)
+        sub = jnp.where(seq == ch, jnp.asarray(MATCH, sdt),
+                        jnp.asarray(MISMATCH, sdt))   # (wn, l1)
         jvalid = (j >= 1) & (j <= lb_v)
-        node_ok = r < nn_v                            # (W, 1)
+        node_ok = r < nn_v                            # (wn, 1)
 
         def finish(mp):
             """(hrow, diag, up) from the max-plus predecessor row."""
-            diag = jnp.where(jvalid, _roll_right(mp, 1, NEG) + sub, NEG)
-            up = mp + GAP
+            diag = jnp.where(jvalid, _roll_right(mp, 1, neg) + sub, neg)
+            up = mp + jnp.asarray(GAP, sdt)
             base = jnp.where(j == 0, up, jnp.maximum(diag, up))
-            base = jnp.where(j <= lb_v, base, NEG)
-            H = _prefix_max(base - decay) + decay
-            return jnp.where(node_ok, H, NEG), diag, up
+            base = jnp.where(j <= lb_v, base, neg)
+            H = _prefix_max(base - decay, neg) + decay
+            return jnp.where(node_ok, H, neg), diag, up
 
         # directions against the finished row: diag preds in order, then
         # graph-gap preds in order, then seq-gap (left) — the reference
@@ -140,8 +151,10 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
             hrow, diag, up = finish(hprev)
             diag_ok = (hrow == diag) & jvalid
             up_ok = hrow == up
-            d16 = jnp.full((W, l1), 16, jnp.int32)
-            return hrow, jnp.where(diag_ok, 0, jnp.where(up_ok, 8, d16))
+            d16 = jnp.full((wn, l1), 16, sdt)
+            return hrow, jnp.where(diag_ok, jnp.asarray(0, sdt),
+                                   jnp.where(up_ok, jnp.asarray(8, sdt),
+                                             d16))
 
         def branch_path(_):
             # ONE gather per (window, pred slot), reused by both the
@@ -150,7 +163,7 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
             # slot 0 is processed last in the direction merge, so
             # duplicate matches collapse to the lowest slot.
             pred_rows, accs = [], []
-            for w in range(W):
+            for w in range(wn):
                 pv = preds_row(w, r)
                 rows_w = [pred_h(pv, p, w)[0] for p in range(MAX_PREDS)]
                 acc = rows_w[0]
@@ -160,23 +173,24 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                 accs.append(acc)
             hrow, _diag, _up = finish(jnp.concatenate(accs, axis=0))
             dirs = []
-            for w in range(W):
+            for w in range(wn):
                 hw = hrow[w:w + 1, :]
                 subw = sub[w:w + 1, :]
                 lbw = lb_ref[w, 0]
                 jv = (j1 >= 1) & (j1 <= lbw)
                 # first-matching diag and up slots tracked separately,
                 # then merged by priority
-                d_diag = jnp.full((1, l1), -1, jnp.int32)
-                d_up = jnp.full((1, l1), -1, jnp.int32)
+                d_diag = jnp.full((1, l1), -1, sdt)
+                d_up = jnp.full((1, l1), -1, sdt)
                 for p in reversed(range(MAX_PREDS)):
                     v = pred_rows[w][p]
-                    uok = hw == v + GAP
-                    dok = (hw == _roll_right(v, 1, NEG) + subw) & jv
-                    d_up = jnp.where(uok, 8 + p, d_up)
-                    d_diag = jnp.where(dok, p, d_diag)
+                    uok = hw == v + jnp.asarray(GAP, sdt)
+                    dok = (hw == _roll_right(v, 1, neg) + subw) & jv
+                    d_up = jnp.where(uok, jnp.asarray(8 + p, sdt), d_up)
+                    d_diag = jnp.where(dok, jnp.asarray(p, sdt), d_diag)
                 dirs.append(jnp.where(d_diag >= 0, d_diag,
-                                      jnp.where(d_up >= 0, d_up, 16)))
+                                      jnp.where(d_up >= 0, d_up,
+                                                jnp.asarray(16, sdt))))
             return hrow, jnp.concatenate(dirs, axis=0)
 
         if chain_only:
@@ -189,20 +203,22 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
             hrow, dirrow = jax.lax.cond(chain_ref[0, 0, r] > 0,
                                         chain_path, branch_path, 0)
 
-        h_s[pl.ds(i, 1)] = hrow.reshape(1, W, l1)
-        d_s[pl.ds(r, 1)] = dirrow.reshape(1, W, l1)
+        h_s[pl.ds(i, 1)] = hrow.reshape(1, wn, l1)
+        d_s[pl.ds(r, 1)] = dirrow.reshape(1, wn, l1)
 
         # best-sink tracking at column seq_len (strict > keeps the first
         # max — the XLA aligner's argmax tie-break in rank order)
-        endv = jnp.sum(jnp.where(j == lb_v, hrow, 0), axis=1,
-                       keepdims=True, dtype=jnp.int32)
+        # Mosaic has no int16 reductions; the per-window end column is a
+        # scalar anyway — reduce in int32
+        endv = jnp.sum(jnp.where(j == lb_v, hrow, 0).astype(jnp.int32),
+                       axis=1, keepdims=True, dtype=jnp.int32)
         better = (snk > 0) & node_ok & (endv > bval)
         bval = jnp.where(better, endv, bval)
         brank = jnp.where(better, r, brank)
         return hrow, bval, brank
 
-    bval0 = jnp.full((W, 1), NEG, jnp.int32)
-    brank0 = jnp.zeros((W, 1), jnp.int32)
+    bval0 = jnp.full((wn, 1), jnp.int32(neg), jnp.int32)
+    brank0 = jnp.zeros((wn, 1), jnp.int32)
     _, bval, brank = jax.lax.fori_loop(
         jnp.int32(1), (nn_max + 1).astype(jnp.int32), row,
         (h0, bval0, brank0))
@@ -212,9 +228,9 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
     # of 8 sequential loops of ~N+L steps each (8x fewer iterations, and
     # every masked update fills all sublanes).  Finished windows freeze
     # via the `active` mask; their kv at freeze time is k_end.
-    io_out = jax.lax.broadcasted_iota(jnp.int32, (W, out_len), 1)
-    jp = jax.lax.broadcasted_iota(jnp.int32, (W, MAX_PREDS), 1)
-    for w in range(W):
+    io_out = jax.lax.broadcasted_iota(jnp.int32, (wn, out_len), 1)
+    jp = jax.lax.broadcasted_iota(jnp.int32, (wn, MAX_PREDS), 1)
+    for w in range(wn):
         sc_ref[w, 0] = _exw(bval, w)
 
     def tb_cond(st):
@@ -227,16 +243,16 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         rr = jnp.maximum(iv - 1, 0)                      # (W, 1)
         drows = jnp.concatenate(
             [d_s[pl.ds(_exw(rr, w), 1), pl.ds(w, 1), :].reshape(1, l1)
-             for w in range(W)], axis=0)                 # (W, l1)
-        d = jnp.sum(jnp.where(j == jv, drows, 0), axis=1, keepdims=True,
-                    dtype=jnp.int32)
+             for w in range(wn)], axis=0)                # (wn, l1)
+        d = jnp.sum(jnp.where(j == jv, drows, 0).astype(jnp.int32),
+                    axis=1, keepdims=True, dtype=jnp.int32)
         code = jnp.where(iv == 0, 16, d)                 # (W, 1)
         is_left = code == 16
         is_up = (code >= 8) & (code < 16)
         p = jnp.where(is_left, 0, code & 7)
         prows = jnp.concatenate(
             [preds_ref[w, _exw(rr, w), :].reshape(1, MAX_PREDS)
-             for w in range(W)], axis=0)                 # (W, P)
+             for w in range(wn)], axis=0)                # (wn, P)
         pr = jnp.sum(jnp.where(jp == p, prows, 0), axis=1, keepdims=True,
                      dtype=jnp.int32)
         write = active & (io_out == kv)
@@ -247,55 +263,62 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         kv = jnp.where(active, kv - 1, kv)
         return (iv, jv, kv, an, asx)
 
-    st0 = (brank + 1, lb_v, jnp.full((W, 1), out_len - 1, jnp.int32),
-           jnp.full((W, out_len), -2, jnp.int32),
-           jnp.full((W, out_len), -2, jnp.int32))
+    st0 = (brank + 1, lb_v, jnp.full((wn, 1), out_len - 1, jnp.int32),
+           jnp.full((wn, out_len), -2, jnp.int32),
+           jnp.full((wn, out_len), -2, jnp.int32))
     _, _, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body, st0)
     an_ref[:] = an
     as_ref[:] = asx
-    for w in range(W):
+    for w in range(wn):
         ke_ref[w, 0] = _exw(kv, w)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_max", "l_max", "interpret",
-                                    "chain_only"))
+                                    "chain_only", "int16_mode"))
 def _align_batch_padded(chars, sinks, preds, seqs_sh, lb, nn, chain,
                         n_max: int, l_max: int, interpret: bool = False,
-                        chain_only: bool = False):
+                        chain_only: bool = False, int16_mode: bool = False):
     B = chars.shape[0]
     out_len = n_max + l_max
     l1 = l_max + 1
+    # int16 variant: 16 windows per grid step fill the (16, 128) int16
+    # tile, so every DP row op moves HALF the vregs of the int32 kernel.
+    # Gated by the caller to n_max, l_max <= 1024 (score bounds).
+    wn = W16 if int16_mode else W
+    sdt = jnp.int16 if int16_mode else jnp.int32
+    neg = NEG16 if int16_mode else NEG
     kernel = functools.partial(_poa_kernel, n_max=n_max, l_max=l_max,
-                               out_len=out_len, chain_only=chain_only)
-    grid = (B // W,)
+                               out_len=out_len, chain_only=chain_only,
+                               wn=wn, sdt=sdt, neg=neg)
+    grid = (B // wn,)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((W, n_max), lambda i: (i, 0),
+            pl.BlockSpec((wn, n_max), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),        # chars (scalars)
-            pl.BlockSpec((W, n_max), lambda i: (i, 0),
+            pl.BlockSpec((wn, n_max), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),        # sinks (scalars)
-            pl.BlockSpec((W, n_max, MAX_PREDS), lambda i: (i, 0, 0),
+            pl.BlockSpec((wn, n_max, MAX_PREDS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),        # preds
-            pl.BlockSpec((W, l1), lambda i: (i, 0),
+            pl.BlockSpec((wn, l1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),        # seqs (shifted)
-            pl.BlockSpec((W, 1), lambda i: (i, 0),
+            pl.BlockSpec((wn, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),        # seq_len
-            pl.BlockSpec((W, 1), lambda i: (i, 0),
+            pl.BlockSpec((wn, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),        # n_nodes
             pl.BlockSpec((1, 1, n_max), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),        # chain (all-w)
         ],
         out_specs=[
-            pl.BlockSpec((W, out_len), lambda i: (i, 0),
+            pl.BlockSpec((wn, out_len), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, out_len), lambda i: (i, 0),
+            pl.BlockSpec((wn, out_len), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, 1), lambda i: (i, 0),
+            pl.BlockSpec((wn, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((W, 1), lambda i: (i, 0),
+            pl.BlockSpec((wn, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -305,8 +328,8 @@ def _align_batch_padded(chars, sinks, preds, seqs_sh, lb, nn, chain,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),         # score
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_max + 1, W, l1), jnp.int32),       # H
-            pltpu.VMEM((n_max, W, l1), jnp.int32),           # directions
+            pltpu.VMEM((n_max + 1, wn, l1), sdt),            # H
+            pltpu.VMEM((n_max, wn, l1), sdt),                # directions
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -330,22 +353,30 @@ def chain_flags(preds: np.ndarray, n_nodes: np.ndarray):
 
 
 def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
-                       l_max: int, interpret: bool = False):
+                       l_max: int, interpret: bool = False,
+                       int16_mode: bool = False):
     """Drop-in for ops.poa_device.align_batch with the Pallas kernel.
 
     chars (B, N) uint8; preds (B, N, P<=8) int32; is_sink (B, N) bool;
     n_nodes (B,); seqs (B, L) uint8; seq_lens (B,).
+    int16_mode: run the (16, 128)-tile int16 variant — half the vreg
+    traffic per DP row op; requires N, l_max <= 1024 so scores stay
+    within the NEG16 sentinel bound.
     Returns (aln_nodes, aln_spos, k_end, score) — k_end/score shaped (B,)."""
     chars = np.asarray(chars)
     preds = np.asarray(preds, np.int32)
     B, N = chars.shape
+    if int16_mode and (N > 1024 or l_max > 1024):
+        raise ValueError(f"int16 mode needs N, l_max <= 1024 "
+                         f"(got {N}, {l_max})")
+    wn = W16 if int16_mode else W
     if preds.shape[2] < MAX_PREDS:
         preds = np.concatenate(
             [preds, np.full((B, N, MAX_PREDS - preds.shape[2]), -1,
                             np.int32)], axis=2)
     elif preds.shape[2] > MAX_PREDS:
         raise ValueError(f"in-degree bucket {preds.shape[2]} > {MAX_PREDS}")
-    pad = (-B) % W
+    pad = (-B) % wn
     if pad:
         rep = lambda x: np.concatenate([x] + [x[:1]] * pad, axis=0)
         chars, preds = rep(chars), rep(preds)
@@ -357,8 +388,8 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
     nn = np.asarray(n_nodes, np.int32).reshape(Bp, 1)
     lb = np.asarray(seq_lens, np.int32).reshape(Bp, 1)
     chainw = chain_flags(preds, nn)
-    chain_all = (chainw.reshape(Bp // W, W, N).all(axis=1)
-                 .astype(np.int32).reshape(Bp // W, 1, N))
+    chain_all = (chainw.reshape(Bp // wn, wn, N).all(axis=1)
+                 .astype(np.int32).reshape(Bp // wn, 1, N))
     # after chain detection: pad empty slots with slot 0's rank so branch
     # rows gather unconditionally (duplicate matches collapse to slot 0)
     preds = np.where(preds < 0, preds[:, :, :1], preds)
@@ -367,7 +398,7 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
             preds, seqs_sh, lb, nn, chain_all)
     from ..parallel.dataparallel import data_mesh
     mesh, axis = data_mesh()
-    if mesh is not None and Bp % (int(mesh.shape[axis]) * W) == 0:
+    if mesh is not None and Bp % (int(mesh.shape[axis]) * wn) == 0:
         # data-parallel across chips: each device runs the kernel on its
         # local W-multiple slice of the window batch (shard_map — a Pallas
         # grid cannot be auto-partitioned by sharded inputs alone)
@@ -381,7 +412,8 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
                                          for s in specs))
         fn = shard_map(
             functools.partial(_align_batch_padded, n_max=N, l_max=l_max,
-                              interpret=interpret, chain_only=chain_only),
+                              interpret=interpret, chain_only=chain_only,
+                              int16_mode=int16_mode),
             mesh=mesh, in_specs=specs,
             out_specs=tuple(P(axis, None) for _ in range(4)),
             check_vma=False)   # pallas_call out_shapes carry no vma info
@@ -389,5 +421,5 @@ def align_batch_pallas(chars, preds, is_sink, n_nodes, seqs, seq_lens,
     else:
         dev = jax.device_put(host)               # 1 transfer
         an, asp, ke, sc = _align_batch_padded(*dev, N, l_max, interpret,
-                                              chain_only)
+                                              chain_only, int16_mode)
     return an[:B], asp[:B], ke[:B, 0], sc[:B, 0]

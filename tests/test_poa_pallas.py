@@ -152,3 +152,58 @@ def test_pallas_dp_mesh_parity_interpret():
         dpm.set_data_mesh(None)
     for a, b in zip(base, out):
         assert (a == b).all()
+
+
+def test_pallas_int16_parity_interpret():
+    """The int16 variant (16 windows per grid step filling the (16, 128)
+    int16 tile — half the vreg traffic per DP row op) must match the
+    native engine AND the int32 kernel exactly, including scores."""
+    rng = np.random.default_rng(23)
+    graphs, seqs = _build_cases(rng, 16, 40, 6)
+    packed, *arrs = _pack(graphs, seqs, 128, 64)
+    chars, preds, sinks, nn, sq, ln = arrs
+    a32 = [np.array(x) for x in align_batch_pallas(
+        chars, preds, sinks, nn, sq, ln, 64, interpret=not ON_TPU)]
+    a16 = [np.array(x) for x in align_batch_pallas(
+        chars, preds, sinks, nn, sq, ln, 64, interpret=not ON_TPU,
+        int16_mode=True)]
+    for i in range(len(packed)):
+        g0 = graphs[i].align_only(seqs[i])
+        g16 = pdev.unpack_alignment(a16[0][i], a16[1][i], int(a16[2][i]),
+                                    packed[i][4])
+        assert g0 == g16, f"int16 alignment mismatch window {i}"
+        assert a32[3][i] == a16[3][i], f"score mismatch window {i}"
+
+
+def test_pallas_int16_score_bounds():
+    """Worst-case negative scores (fully divergent read vs long chain) stay
+    clear of the NEG16 sentinel: alignment still exact at the gated shape
+    ceiling shapes."""
+    rng = np.random.default_rng(29)
+    # divergent read: alignment is all mismatches/gaps -> most negative H
+    g = NativePoaGraph()
+    ref = "".join(rng.choice(list("ACGT"), 500))
+    g.add_sequence(ref)
+    read = "".join(rng.choice(list("ACGT"), 500))
+    packed = [g.pack(512, 8)]
+    chars = np.stack([packed[0][0]] * 16)
+    preds = np.stack([packed[0][1]] * 16)
+    sinks = np.stack([packed[0][2]] * 16)
+    nn = np.full(16, packed[0][3], np.int32)
+    sq = np.zeros((16, 512), np.uint8)
+    sq[:, :len(read)] = np.frombuffer(read.encode(), np.uint8)
+    ln = np.full(16, len(read), np.int32)
+    a16 = [np.array(x) for x in align_batch_pallas(
+        chars, preds, sinks, nn, sq, ln, 512, interpret=not ON_TPU,
+        int16_mode=True)]
+    a0 = g.align_only(read)
+    got = pdev.unpack_alignment(a16[0][0], a16[1][0], int(a16[2][0]),
+                                packed[0][4])
+    assert got == a0
+    with pytest.raises(ValueError):
+        align_batch_pallas(np.zeros((16, 2048), np.uint8),
+                           np.full((16, 2048, 8), -1, np.int32),
+                           np.zeros((16, 2048), bool),
+                           np.full(16, 4, np.int32),
+                           np.zeros((16, 8), np.uint8),
+                           np.full(16, 4, np.int32), 8, int16_mode=True)
