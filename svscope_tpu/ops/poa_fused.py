@@ -748,6 +748,15 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
         bmem = max(8, H_BYTES_CAP // ((ncap + 1) * (lb + 1) * 4))
         # multiple of 8: the Pallas round packs 8 windows per grid step
         bcap = max(8, (min(max_batch or B_LADDER[-1], bmem) // 8) * 8)
+        eng = (_os.environ.get("SVSCOPE_FUSED_ENGINE")
+               or _pick_engine(ncap, lb))
+        if eng == "pk" and rb > R_LADDER[0]:
+            # the in-kernel round loop serializes fusion per window on the
+            # scalar pipeline (~0.4 s/window at production shapes,
+            # docs/PERF.md §6); cap the chunk so one device call stays
+            # under ~10 s — tunneled workers kill longer calls (observed:
+            # 128-window calls crash the worker, 8-window calls run)
+            bcap = min(bcap, 16)
         for off in range(0, len(idxs), bcap):
             chunk = idxs[off:off + bcap]
             # multiple of 8 always (the Pallas round packs 8 windows per
