@@ -399,7 +399,11 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, gminr, seqv,
     lookup; never rewritten for existing nodes, so SMEM-safe).
     Returns (nn, tctr, ovf, gs, path) with path (B, l_max)."""
     B = charsr.shape[0]
-    out_len = n_max + l_max
+    # max path entries = (n_max - 1 active nodes) + l_max bases; for the
+    # production bucket that is 1024 + 512 = 12 x 128 exactly — the +1 of
+    # the naive n_max + l_max would drag a 13th tail vreg through every
+    # masked alignment-value extract in the fusion loop
+    out_len = n_max - 1 + l_max
     l1 = l_max + 1
     n16 = predsr.shape[1]
     import os as _os
