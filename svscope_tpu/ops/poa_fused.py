@@ -465,10 +465,12 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
         chainw = (single & (first_prev | root0)) | inactive
         chain_all = (chainw.reshape(B // 8, 8, ncap).all(axis=1)
                      .astype(jnp.int32).reshape(B // 8, 1, ncap))
+        chainw32 = chainw.astype(jnp.int32)
         import os as _os2
         if _os2.environ.get("SVSCOPE_PK_ABLATE") == "dpc":
             # probe: force every row down the cheap chain path
             chain_all = jnp.ones_like(chain_all)
+            chainw32 = jnp.ones_like(chainw32)
         # pad slots duplicate slot 0 (unconditional branch-row gathers),
         # then pack 16 rank-rows per 128-lane row (a pure reshape)
         predsp = jnp.where(preds_r < 0, preds_r[:, :, :1], preds_r)
@@ -482,9 +484,10 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
         seqv = seqv.at[:, 1:].set(seq)
         ovf = ovf | cyclic.astype(jnp.int32).reshape(B, 1)
         nn, tctr, ovf, gs, path_round = fused_round_call(
-            chars_r, sink_r, pred_packed, chain_all, order, gminr, seqv,
-            seq, slen.reshape(B, 1), nn_eff.reshape(B, 1), nn, tctr, ovf,
-            gs, ncap=ncap, n_max=ncap, l_max=l_max, interpret=interpret)
+            chars_r, sink_r, pred_packed, chain_all, chainw32, order,
+            gminr, seqv, seq, slen.reshape(B, 1), nn_eff.reshape(B, 1),
+            nn, tctr, ovf, gs, ncap=ncap, n_max=ncap, l_max=l_max,
+            interpret=interpret)
         path = path.at[:, r].set(path_round)
         return nn, tctr, ovf, gs, path
 

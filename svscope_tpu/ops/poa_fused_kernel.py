@@ -118,8 +118,8 @@ def _pk_slot(prow, r, p):
 
 def _fused_round_kernel(
         # rank-space DP inputs (read-only)
-        charsr_ref, sinksr_ref, predsr_ref, chain_ref, order_ref,
-        gminr_ref, seqv_ref, seqs_ref, lb_ref, nn_eff_ref,
+        charsr_ref, sinksr_ref, predsr_ref, chain_ref, chainw_ref,
+        order_ref, gminr_ref, seqv_ref, seqs_ref, lb_ref, nn_eff_ref,
         # state inputs (copied forward then mutated on the out refs)
         nn_in, tctr_in, ovf_in, gs_in,
         # outputs
@@ -177,18 +177,34 @@ def _fused_round_kernel(
             d16 = jnp.full((W, l1), 16, jnp.int32)
             return hrow, jnp.where(diag_ok, 0, jnp.where(up_ok, 8, d16))
 
-        def branch_path(_):
-            pred_rows, accs = [], []
+        def mixed_path(_):
+            # PER-WINDOW chain dispatch: with 8 windows AND'd, 29% of
+            # rows took the all-gather path on real noisy graphs while
+            # only 6% of (window, row) pairs actually branch (measured,
+            # bench builds); gathering only for true branch windows cuts
+            # the kernel's dominant dynamic-read traffic ~4x.  Payload
+            # row 0 = the max-plus mp row; rows 1..P = the per-slot pred
+            # rows for the direction pass (chain windows carry broadcast
+            # copies of hprev there, selected away below).
+            payloads = []
             for w in range(W):
-                prow = _pk_row(predsr_ref, w, r)
-                rows_w = [pred_h(_pk_slot(prow, r, p), w)
-                          for p in range(MAX_PREDS)]
-                acc = rows_w[0]
-                for p in range(1, MAX_PREDS):
-                    acc = jnp.maximum(acc, rows_w[p])
-                pred_rows.append(rows_w)
-                accs.append(acc)
-            hrow, _diag, _up = finish(jnp.concatenate(accs, axis=0))
+                def branch_w(_):
+                    prow = _pk_row(predsr_ref, w, r)
+                    rows_w = [pred_h(_pk_slot(prow, r, p), w)
+                              for p in range(MAX_PREDS)]
+                    acc = rows_w[0]
+                    for p in range(1, MAX_PREDS):
+                        acc = jnp.maximum(acc, rows_w[p])
+                    return jnp.concatenate([acc] + rows_w, axis=0)
+
+                def chain_w(_):
+                    return jnp.broadcast_to(hprev[w:w + 1, :],
+                                            (MAX_PREDS + 1, l1))
+
+                payloads.append(jax.lax.cond(chainw_ref[w, r] > 0,
+                                             chain_w, branch_w, 0))
+            mp = jnp.concatenate([pay[0:1] for pay in payloads], axis=0)
+            hrow, diag_c, up_c = finish(mp)
             dirs = []
             for w in range(W):
                 hw = hrow[w:w + 1, :]
@@ -198,17 +214,22 @@ def _fused_round_kernel(
                 d_diag = jnp.full((1, l1), -1, jnp.int32)
                 d_up = jnp.full((1, l1), -1, jnp.int32)
                 for p in reversed(range(MAX_PREDS)):
-                    v = pred_rows[w][p]
+                    v = payloads[w][p + 1:p + 2]
                     uok = hw == v + GAP
                     dok = (hw == _roll_right(v, 1, NEG) + subw) & jv
                     d_up = jnp.where(uok, 8 + p, d_up)
                     d_diag = jnp.where(dok, p, d_diag)
-                dirs.append(jnp.where(d_diag >= 0, d_diag,
-                                      jnp.where(d_up >= 0, d_up, 16)))
+                d_br = jnp.where(d_diag >= 0, d_diag,
+                                 jnp.where(d_up >= 0, d_up, 16))
+                # chain windows: single-pred semantics against mp
+                dc_ok = (hw == diag_c[w:w + 1]) & jv
+                uc_ok = hw == up_c[w:w + 1]
+                d_ch = jnp.where(dc_ok, 0, jnp.where(uc_ok, 8, 16))
+                dirs.append(jnp.where(chainw_ref[w, r] > 0, d_ch, d_br))
             return hrow, jnp.concatenate(dirs, axis=0)
 
         hrow, dirrow = jax.lax.cond(chain_ref[0, 0, r] > 0,
-                                    chain_path, branch_path, 0)
+                                    chain_path, mixed_path, 0)
         h_s[pl.ds(i, 1)] = hrow.reshape(1, W, l1)
         d_s[pl.ds(r, 1)] = dirrow.reshape(1, W, l1)
         endv = jnp.sum(jnp.where(j == lb_v, hrow, 0), axis=1,
@@ -388,9 +409,10 @@ def _fused_round_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("ncap", "n_max", "l_max", "interpret"))
-def fused_round_call(charsr, sinksr, predsr, chain, order, gminr, seqv,
-                     seqs5, lb, nn_eff, nn, tctr, ovf, gs, *, ncap: int,
-                     n_max: int, l_max: int, interpret: bool = False):
+def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
+                     seqv, seqs5, lb, nn_eff, nn, tctr, ovf, gs, *,
+                     ncap: int, n_max: int, l_max: int,
+                     interpret: bool = False):
     """One fused round over a (B, ...) batch; B must be a multiple of 8.
 
     gs: (B, ncap, 128) lane-structured graph state (see module doc).
@@ -421,6 +443,7 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, gminr, seqv,
         bs((W, n16, GS_LANES), lambda i: (i, 0, 0),
            memory_space=vm),                                      # predsr
         bs((1, 1, n_max), lambda i: (i, 0, 0), memory_space=sm),  # chain
+        bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # chainw
         bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # order
         bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # gminr
         bs((W, l1), lambda i: (i, 0), memory_space=vm),           # seqv
@@ -461,5 +484,5 @@ def fused_round_call(charsr, sinksr, predsr, chain, order, gminr, seqv,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(charsr, sinksr, predsr, chain, order, gminr, seqv, seqs5, lb,
-      nn_eff, nn, tctr, ovf, gs)
+    )(charsr, sinksr, predsr, chain, chainw, order, gminr, seqv, seqs5,
+      lb, nn_eff, nn, tctr, ovf, gs)
