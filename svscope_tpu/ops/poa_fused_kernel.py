@@ -296,11 +296,14 @@ def _fused_round_kernel(
             nn_out[w, 0] = jnp.minimum(nn_in[w, 0] + grow_n,
                                        jnp.int32(ncap - 1))
         return
+    def tb_body2(st):
+        return tb_body(tb_body(st))            # same unroll rationale
+
     i0 = jnp.where(nn_v > 0, brank + 1, 0)
     st_tb = (i0, lb_v, jnp.full((W, 1), out_len - 1, jnp.int32),
              jnp.full((W, out_len), -2, jnp.int32),
              jnp.full((W, out_len), -2, jnp.int32))
-    _iv, _jv, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body, st_tb)
+    _iv, _jv, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body2, st_tb)
     if ablate == "tb":        # probe: stop after traceback (results WRONG)
         return
 
@@ -325,7 +328,9 @@ def _fused_round_kernel(
             k, prev, nn_c, tc, ovf, path_w = st
             aspv = _exs(as_w, k)
             anv = _exs(an_w, k)
-            valid = aspv >= 0                  # -1 graph gap, -2 pad
+            # k >= out_len guards the unrolled sub-steps: a no-lane-match
+            # masked extract returns 0, which would read as a valid entry
+            valid = (k < out_len) & (aspv >= 0)   # -1 graph gap, -2 pad
             sposc = jnp.clip(aspv, 0, l_max - 1)
             c5 = seqs_ref[w, sposc]
             has_node = valid & (anv >= 0)
@@ -398,8 +403,17 @@ def _fused_round_kernel(
 
         st_f = (k_end + 1, jnp.int32(-1), nn_in[w, 0], tctr_in[w, 0],
                 ovf_in[w, 0] > 0, jnp.full((1, l_max), -1, jnp.int32))
+        # UNROLL x4: a while-loop iteration in this kernel costs ~10 us
+        # REGARDLESS of body size (tools/probe/fusebody_probe: empty and
+        # full bodies measure within noise), so four gated entry steps
+        # per iteration quarter the loop tax at unchanged op cost.
+        def fuse_body4(st):
+            for _ in range(4):
+                st = fuse_body(st)
+            return st
+
         _k, _prev, nn_f, tc_f, ovf_f, path_w = jax.lax.while_loop(
-            fuse_cond, fuse_body, st_f)
+            fuse_cond, fuse_body4, st_f)
         path_ref[pl.ds(w, 1), :] = path_w
         nn_out[w, 0] = nn_f
         tctr_out[w, 0] = tc_f
