@@ -157,8 +157,22 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
     tails_g = group_min[pnc]                      # (ncap, P) blocker gids
     heads_g = jnp.broadcast_to(group_min[:, None], tails_g.shape)
     ev_static = (pred_node >= 0) & active[:, None] & (tails_g != heads_g)
-    seg = heads_g.ravel()
     iota = ids
+    # Group-level blocker MATRIX, built once per call: Mblk[b, h] = 1 iff
+    # some edge makes group b a blocker of group h.  The while body then
+    # computes per-group min/max UNPLACED blocker gids as masked
+    # (ncap, ncap) sweeps — pure VPU streaming with NO gathers, scatters
+    # or segment ops in the loop.  The previous formulations (per-
+    # iteration segment_min over the edge list, then a member-table
+    # gather) both cost ~1.6 ms PER ITERATION — a real fused build runs
+    # ~1,700 sort iterations, which made the canonical re-rank 70-80% of
+    # the whole on-device build (docs/PERF.md §9); the sweep form costs
+    # the one-time scatter below plus ~tens of us per iteration.
+    Mblk = jnp.zeros((ncap, ncap), jnp.int8)
+    Mblk = Mblk.at[tails_g.ravel(), heads_g.ravel()].max(
+        ev_static.ravel().astype(jnp.int8))
+    Mblk = Mblk > 0
+    gidcol = ids[:, None]
 
     def cond(st):
         grp_placed, _itp, it, stuck = st
@@ -166,11 +180,9 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
 
     def body(st):
         grp_placed, it_placed, it, stuck = st
-        ev = ev_static & ~grp_placed[tails_g]
-        bmin = jax.ops.segment_min(
-            jnp.where(ev, tails_g, BIG).ravel(), seg, num_segments=ncap)
-        bmax = jax.ops.segment_max(
-            jnp.where(ev, tails_g, -1).ravel(), seg, num_segments=ncap)
+        act = Mblk & (~grp_placed)[:, None]       # blocker b unplaced
+        bmin = jnp.min(jnp.where(act, gidcol, BIG), axis=0)
+        bmax = jnp.max(jnp.where(act, gidcol, -1), axis=0)
         unplaced = is_grp & ~grp_placed
         ready = unplaced & (bmax < 0)
         gstar = jnp.min(jnp.where(ready, ids, BIG))

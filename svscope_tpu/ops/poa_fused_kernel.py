@@ -116,20 +116,21 @@ def _pk_slot(prow, r, p):
     return _exs(prow, (r32 % 16) * 8 + jnp.asarray(p, jnp.int32))
 
 
-def _fused_round_kernel(
-        # rank-space DP inputs (read-only)
+def _align_tb_kernel(
         charsr_ref, sinksr_ref, predsr_ref, chain_ref, chainw_ref,
-        order_ref, gminr_ref, seqv_ref, seqs_ref, lb_ref, nn_eff_ref,
-        # state inputs (copied forward then mutated on the out refs)
-        nn_in, tctr_in, ovf_in, gs_in,
-        # outputs
-        nn_out, tctr_out, ovf_out, gs_out, path_ref,
-        # scratch
+        seqv_ref, lb_ref, nn_eff_ref,
+        an_ref, as_ref, ke_ref,
         h_s, d_s,
-        *, n_max: int, l_max: int, out_len: int,
-        ablate: str = ""):
-    l1 = l_max + 1
+        *, n_max: int, l_max: int, out_len: int):
+    """Round kernel A: DP wavefront + W-joint traceback.
 
+    Split from the fusion kernel on measured evidence (docs/PERF.md §8
+    addenda): every phase is fast in a kernel of its own (fusion
+    1.4 us/entry, DP ~12 us/row, traceback ~us/step) but the SAME code
+    co-resident in one kernel body ran 5x slower — the union of live
+    ranges pushes the register allocator into a spill regime that taxes
+    every loop.  Two small kernels beat one big one."""
+    l1 = l_max + 1
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
     j1 = j[0:1]
     lb_v = jnp.stack([lb_ref[k, 0] for k in range(W)]).reshape(W, 1)
@@ -137,13 +138,6 @@ def _fused_round_kernel(
     nn_max_t = jnp.max(nn_v)
     seq = seqv_ref[:]
     decay = GAP * j
-
-    # ---- copy state forward (outputs are the mutation targets) ----
-    for w in range(W):
-        nn_out[w, 0] = nn_in[w, 0]
-        tctr_out[w, 0] = tctr_in[w, 0]
-        ovf_out[w, 0] = ovf_in[w, 0]
-    gs_out[:] = gs_in[:]
 
     # ---- phase 1: DP wavefront (ops/poa_pallas._poa_kernel row loop) ----
     h0 = jnp.where(j <= lb_v, GAP * j, NEG)
@@ -180,12 +174,11 @@ def _fused_round_kernel(
         def mixed_path(_):
             # PER-WINDOW chain dispatch: with 8 windows AND'd, 29% of
             # rows took the all-gather path on real noisy graphs while
-            # only 6% of (window, row) pairs actually branch (measured,
-            # bench builds); gathering only for true branch windows cuts
-            # the kernel's dominant dynamic-read traffic ~4x.  Payload
-            # row 0 = the max-plus mp row; rows 1..P = the per-slot pred
-            # rows for the direction pass (chain windows carry broadcast
-            # copies of hprev there, selected away below).
+            # only 6% of (window, row) pairs actually branch (measured);
+            # gathering only for true branch windows cuts the dominant
+            # dynamic-read traffic ~4x.  Payload row 0 = the max-plus mp
+            # row; rows 1..P = per-slot pred rows for the direction pass
+            # (chain windows carry broadcast hprev there, selected away).
             payloads = []
             for w in range(W):
                 def branch_w(_):
@@ -221,7 +214,6 @@ def _fused_round_kernel(
                     d_diag = jnp.where(dok, p, d_diag)
                 d_br = jnp.where(d_diag >= 0, d_diag,
                                  jnp.where(d_up >= 0, d_up, 16))
-                # chain windows: single-pred semantics against mp
                 dc_ok = (hw == diag_c[w:w + 1]) & jv
                 uc_ok = hw == up_c[w:w + 1]
                 d_ch = jnp.where(dc_ok, 0, jnp.where(uc_ok, 8, 16))
@@ -245,14 +237,7 @@ def _fused_round_kernel(
         jnp.int32(1), (nn_max_t + 1).astype(jnp.int32), row,
         (h0, bval0, brank0))
 
-    # ---- phase 2: W-JOINT traceback (the round-3 kernel's walk: all 8
-    # windows step simultaneously with (W, .) value state — measured ~8x
-    # cheaper than per-window scalar walks, whose ~0.6 us/iteration loop
-    # overhead dominated).  An empty graph (nn == 0, lb > 0) starts at the
-    # virtual row and emits the all-gap alignment == the chain init.
-    ncap = gs_out.shape[1]
-    trash = ncap - 1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GS_LANES), 1)
+    # ---- phase 2: W-joint traceback (value state, stored at the end) ----
     io_out = jax.lax.broadcasted_iota(jnp.int32, (W, out_len), 1)
     lane128w = jax.lax.broadcasted_iota(jnp.int32, (W, GS_LANES), 1)
 
@@ -287,39 +272,42 @@ def _fused_round_kernel(
         kv = jnp.where(active, kv - 1, kv)
         return (iv, jv, kv, an, asx)
 
-    if ablate.startswith("dp"):   # probe: stop after DP (results WRONG;
-        # nn grows artificially so later rounds run realistic row counts)
-        for w in range(W):
-            lbw = lb_ref[w, 0]
-            grow_n = jnp.where(nn_in[w, 0] == 0, lbw,
-                               jnp.maximum(lbw // 16, 1))
-            nn_out[w, 0] = jnp.minimum(nn_in[w, 0] + grow_n,
-                                       jnp.int32(ncap - 1))
-        return
     def tb_body2(st):
-        return tb_body(tb_body(st))            # same unroll rationale
+        return tb_body(tb_body(st))
 
     i0 = jnp.where(nn_v > 0, brank + 1, 0)
     st_tb = (i0, lb_v, jnp.full((W, 1), out_len - 1, jnp.int32),
              jnp.full((W, out_len), -2, jnp.int32),
              jnp.full((W, out_len), -2, jnp.int32))
     _iv, _jv, kv, an, asx = jax.lax.while_loop(tb_cond, tb_body2, st_tb)
-    if ablate == "tb":        # probe: stop after traceback (results WRONG)
-        return
+    an_ref[:] = an
+    as_ref[:] = asx
+    for w in range(W):
+        ke_ref[w, 0] = _exw(kv, w)
 
-    # ---- phase 3 per window: sequential fusion (the host algorithm,
-    # ops/poa.py semantics, row-for-row with ops/poa_fused's vectorized
-    # XLA version).  Trimmed to ~3 dynamic VMEM row accesses per entry:
-    # the alignment is VALUE state from the traceback, the matched node's
-    # column id comes from the pre-round rank-space gmin in SMEM (fusion
-    # never rewrites an existing node's group), the read path is value
-    # state written once per window, and all conditional state writes sit
-    # under pl.when so matched-entry steps skip the creator RMWs.
+
+def _fusion_kernel(
+        an_ref, as_ref, ke_ref, order_ref, gminr_ref, seqs_ref,
+        nn_in, tctr_in, ovf_in, gs_in,
+        nn_out, tctr_out, ovf_out, gs_out, path_ref,
+        *, n_max: int, l_max: int, out_len: int):
+    """Round kernel B: sequential per-window graph fusion (the host
+    algorithm, ops/poa.py semantics, row-for-row with ops/poa_fused's
+    vectorized XLA version).  ~3 dynamic VMEM row accesses per entry;
+    measured 1.4 us/entry in this kernel (tools/probe/fusebody_probe)."""
+    for w in range(W):
+        nn_out[w, 0] = nn_in[w, 0]
+        tctr_out[w, 0] = tctr_in[w, 0]
+        ovf_out[w, 0] = ovf_in[w, 0]
+    gs_out[:] = gs_in[:]
+    ncap = gs_out.shape[1]
+    trash = ncap - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GS_LANES), 1)
     lpath = jax.lax.broadcasted_iota(jnp.int32, (1, l_max), 1)
     for w in range(W):
-        an_w = an[w:w + 1, :]
-        as_w = asx[w:w + 1, :]
-        k_end = _exw(kv, w)
+        an_w = an_ref[w:w + 1, :]
+        as_w = as_ref[w:w + 1, :]
+        k_end = ke_ref[w, 0]
 
         def fuse_cond(st):
             return st[0] < out_len
@@ -401,17 +389,13 @@ def _fused_round_kernel(
             prev = jnp.where(valid, cur, prev)
             return k + 1, prev, nn_c, tc, ovf, path_w
 
-        st_f = (k_end + 1, jnp.int32(-1), nn_in[w, 0], tctr_in[w, 0],
-                ovf_in[w, 0] > 0, jnp.full((1, l_max), -1, jnp.int32))
-        # UNROLL x4: a while-loop iteration in this kernel costs ~10 us
-        # REGARDLESS of body size (tools/probe/fusebody_probe: empty and
-        # full bodies measure within noise), so four gated entry steps
-        # per iteration quarter the loop tax at unchanged op cost.
         def fuse_body4(st):
-            for _ in range(4):
+            for _ in range(4):           # loop-tax unroll (see module doc)
                 st = fuse_body(st)
             return st
 
+        st_f = (k_end + 1, jnp.int32(-1), nn_in[w, 0], tctr_in[w, 0],
+                ovf_in[w, 0] > 0, jnp.full((1, l_max), -1, jnp.int32))
         _k, _prev, nn_f, tc_f, ovf_f, path_w = jax.lax.while_loop(
             fuse_cond, fuse_body4, st_f)
         path_ref[pl.ds(w, 1), :] = path_w
@@ -429,6 +413,10 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
                      interpret: bool = False):
     """One fused round over a (B, ...) batch; B must be a multiple of 8.
 
+    TWO pallas_calls per round — align+traceback, then fusion — because
+    the phases co-resident in one kernel body measured 5x slower than
+    their isolated sums (docs/PERF.md §8: register-pressure regime).
+
     gs: (B, ncap, 128) lane-structured graph state (see module doc).
     predsr: (B, ceil(n_max/16), 128) packed rank-space pred table.
     gminr: (B, n_max) pre-round group ids in RANK space (fusion's match
@@ -442,55 +430,36 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
     out_len = n_max - 1 + l_max
     l1 = l_max + 1
     n16 = predsr.shape[1]
-    import os as _os
-    kernel = functools.partial(_fused_round_kernel, n_max=n_max,
-                               l_max=l_max, out_len=out_len,
-                               ablate=_os.environ.get("SVSCOPE_PK_ABLATE",
-                                                      ""))
     grid = (B // W,)
     sm = pltpu.SMEM
     vm = pltpu.VMEM
     bs = pl.BlockSpec
-    in_specs = [
-        bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # charsr
-        bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # sinksr
-        bs((W, n16, GS_LANES), lambda i: (i, 0, 0),
-           memory_space=vm),                                      # predsr
-        bs((1, 1, n_max), lambda i: (i, 0, 0), memory_space=sm),  # chain
-        bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # chainw
-        bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # order
-        bs((W, n_max), lambda i: (i, 0), memory_space=sm),        # gminr
-        bs((W, l1), lambda i: (i, 0), memory_space=vm),           # seqv
-        bs((W, l_max), lambda i: (i, 0), memory_space=sm),        # seqs5
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # lb
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # nn_eff
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # nn
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # tctr
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # ovf
-        bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
-           memory_space=vm),                                      # gs
-    ]
-    out_specs = [
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # nn
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # tctr
-        bs((W, 1), lambda i: (i, 0), memory_space=sm),            # ovf
-        bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
-           memory_space=vm),                                      # gs
-        bs((W, l_max), lambda i: (i, 0), memory_space=vm),        # path
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, ncap, GS_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((B, l_max), jnp.int32),
-    ]
-    return pl.pallas_call(
-        kernel,
+    an, asx, ke = pl.pallas_call(
+        functools.partial(_align_tb_kernel, n_max=n_max, l_max=l_max,
+                          out_len=out_len),
         grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        in_specs=[
+            bs((W, n_max), lambda i: (i, 0), memory_space=sm),    # charsr
+            bs((W, n_max), lambda i: (i, 0), memory_space=sm),    # sinksr
+            bs((W, n16, GS_LANES), lambda i: (i, 0, 0),
+               memory_space=vm),                                  # predsr
+            bs((1, 1, n_max), lambda i: (i, 0, 0),
+               memory_space=sm),                                  # chain
+            bs((W, n_max), lambda i: (i, 0), memory_space=sm),    # chainw
+            bs((W, l1), lambda i: (i, 0), memory_space=vm),       # seqv
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),        # lb
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),        # nn_eff
+        ],
+        out_specs=[
+            bs((W, out_len), lambda i: (i, 0), memory_space=vm),  # an
+            bs((W, out_len), lambda i: (i, 0), memory_space=vm),  # asx
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),        # k_end
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, out_len), jnp.int32),
+            jax.ShapeDtypeStruct((B, out_len), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((n_max + 1, W, l1), jnp.int32),   # H
             pltpu.VMEM((n_max, W, l1), jnp.int32),       # directions
@@ -498,5 +467,40 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(charsr, sinksr, predsr, chain, chainw, order, gminr, seqv, seqs5,
-      lb, nn_eff, nn, tctr, ovf, gs)
+    )(charsr, sinksr, predsr, chain, chainw, seqv, lb, nn_eff)
+    return pl.pallas_call(
+        functools.partial(_fusion_kernel, n_max=n_max, l_max=l_max,
+                          out_len=out_len),
+        grid=grid,
+        in_specs=[
+            bs((W, out_len), lambda i: (i, 0), memory_space=vm),  # an
+            bs((W, out_len), lambda i: (i, 0), memory_space=vm),  # asx
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),        # k_end
+            bs((W, n_max), lambda i: (i, 0), memory_space=sm),    # order
+            bs((W, n_max), lambda i: (i, 0), memory_space=sm),    # gminr
+            bs((W, l_max), lambda i: (i, 0), memory_space=sm),    # seqs5
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),        # nn
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),        # tctr
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),        # ovf
+            bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
+               memory_space=vm),                                  # gs
+        ],
+        out_specs=[
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),
+            bs((W, 1), lambda i: (i, 0), memory_space=sm),
+            bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
+               memory_space=vm),
+            bs((W, l_max), lambda i: (i, 0), memory_space=vm),    # path
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, ncap, GS_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, l_max), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(an, asx, ke, order, gminr, seqs5, nn, tctr, ovf, gs)

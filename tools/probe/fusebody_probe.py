@@ -248,7 +248,10 @@ def run(variant, args):
             vmem_limit_bytes=120 * 1024 * 1024),
     )
     jf = jax.jit(lambda *a: f(*a))
-    inp = (an, asx, seqs5, order, gminr, nn, gs)
+    # device-resident inputs: re-shipping the 4.2 MB gs from numpy every
+    # call costs ~40 ms on the tunnel and WAS the first version's entire
+    # measurement (empty == full was transfer, not loop cost)
+    inp = jax.device_put((an, asx, seqs5, order, gminr, nn, gs))
     np.asarray(jf(*inp)[0])
     t0 = time.time()
     for _ in range(10):
