@@ -766,12 +766,12 @@ def fused_msa_batch(seq_lists: list[list[str]], max_batch: int | None = None):
         eng = (_os.environ.get("SVSCOPE_FUSED_ENGINE")
                or _pick_engine(ncap, lb))
         if eng == "pk" and rb > R_LADDER[0]:
-            # the in-kernel round loop serializes fusion per window on the
-            # scalar pipeline (~0.4 s/window at production shapes,
-            # docs/PERF.md §6); cap the chunk so one device call stays
-            # under ~10 s — tunneled workers kill longer calls (observed:
-            # 128-window calls crash the worker, 8-window calls run)
-            bcap = min(bcap, 16)
+            # cap the chunk so one device call stays well under ~30 s —
+            # tunneled workers kill longer calls (observed: pre-sort-fix
+            # 128-window calls crashed the worker).  At the post-fix rate
+            # (~55 ms/window at production shapes, docs/PERF.md §9) a
+            # 64-window call runs ~3.5 s.
+            bcap = min(bcap, 64)
         for off in range(0, len(idxs), bcap):
             chunk = idxs[off:off + bcap]
             # multiple of 8 always (the Pallas round packs 8 windows per
