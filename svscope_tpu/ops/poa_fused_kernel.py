@@ -124,12 +124,11 @@ def _align_tb_kernel(
         *, n_max: int, l_max: int, out_len: int):
     """Round kernel A: DP wavefront + W-joint traceback.
 
-    Split from the fusion kernel on measured evidence (docs/PERF.md §8
-    addenda): every phase is fast in a kernel of its own (fusion
-    1.4 us/entry, DP ~12 us/row, traceback ~us/step) but the SAME code
-    co-resident in one kernel body ran 5x slower — the union of live
-    ranges pushes the register allocator into a spill regime that taxes
-    every loop.  Two small kernels beat one big one."""
+    Split from the fusion kernel during the §8 bottleneck hunt; the
+    actual wall turned out to be the XLA canonical sort, not kernel
+    co-residency (docs/PERF.md §9 tells the full story), but the split
+    is kept: each kernel compiles faster, profiles independently, and
+    the fusion kernel measures at its 1.4 us/entry floor here."""
     l1 = l_max + 1
     j = jax.lax.broadcasted_iota(jnp.int32, (W, l1), 1)
     j1 = j[0:1]
@@ -413,9 +412,10 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
                      interpret: bool = False):
     """One fused round over a (B, ...) batch; B must be a multiple of 8.
 
-    TWO pallas_calls per round — align+traceback, then fusion — because
-    the phases co-resident in one kernel body measured 5x slower than
-    their isolated sums (docs/PERF.md §8: register-pressure regime).
+    TWO pallas_calls per round — align+traceback, then fusion (split
+    during the §8-§9 bottleneck hunt; kept for independent profiling and
+    faster compiles — the wall itself was the XLA canonical sort, fixed
+    in ops/poa_fused._toposort, docs/PERF.md §9).
 
     gs: (B, ncap, 128) lane-structured graph state (see module doc).
     predsr: (B, ceil(n_max/16), 128) packed rank-space pred table.
