@@ -22,9 +22,11 @@
 // ~30 ms single-thread at n=nf=500 (vs ~0.5 s in Python), threaded over
 // rows for larger inputs.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -58,6 +60,202 @@ void pdist_seq(const double* xt, int64_t n, int64_t nf, double* out,
     for (int64_t w = 0; w < t; ++w) {
         const int64_t i0 = n * w / t, i1 = n * (w + 1) / t;
         if (i0 < i1) pool.emplace_back(run_rows, i0, i1);
+    }
+    for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Full Ward NN-chain linkage + incremental K-cut labels (round 5).
+//
+// Replicates svscope_tpu/models/mixture.py::ward_linkage +
+// ward_init_labels BITWISE (same float64 operation order, -ffp-contract
+// =off so no FMA skips an intermediate rounding).  The Python NN-chain
+// costs ~1.1 ms per 24-read window — 0.147 s of the 0.64 s localGraph
+// chunk wall was this loop (round-5 stage probe), the single largest
+// host-prep item in EM dispatch.  This kernel runs the whole
+// sim -> pdist -> NN-chain -> stable-sort -> union-find -> K-cuts
+// pipeline per window in C++, threaded across windows.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr double kInf = std::numeric_limits<double>::infinity();
+
+// pdist with scipy's sequential per-pair accumulation over features of the
+// (n, n) similarity matrix (observations = sim rows, nf = n), into D with
+// +inf diagonal.  Identical element order to pdist_seq above.
+void pdist_sim(const double* sim, int64_t n, double* D,
+               std::vector<double>& xt) {
+    xt.resize(n * n);
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t k = 0; k < n; ++k) xt[k * n + i] = sim[i * n + k];
+    for (int64_t i = 0; i < n; ++i) {
+        double* row = D + i * n;
+        std::memset(row, 0, sizeof(double) * n);
+        for (int64_t k = 0; k < n; ++k) {
+            const double xi = xt[k * n + i];
+            const double* xr = xt.data() + k * n;
+            for (int64_t j = 0; j < n; ++j) {
+                const double d = xi - xr[j];
+                row[j] += d * d;
+            }
+        }
+        for (int64_t j = 0; j < n; ++j) row[j] = std::sqrt(row[j]);
+        row[i] = kInf;
+    }
+}
+
+struct MergeRow { int64_t x, y; double dist; };
+
+// One window: sim (n, n) row-major -> labels (kmax, n) int32, rows k-1
+// hold the K=k cut (row 0 = all zeros), first-occurrence numbering.
+void ward_cut_one(const double* sim, int32_t n32, int32_t kmax,
+                  int32_t* labels) {
+    const int64_t n = n32;
+    std::memset(labels, 0, sizeof(int32_t) * (int64_t)kmax * n);
+    if (n < 2 || kmax < 2) return;
+    std::vector<double> D(n * n), xt;
+    pdist_sim(sim, n, D.data(), xt);
+    std::vector<int64_t> size(n, 1);
+    std::vector<char> alive(n, 1);
+    std::vector<MergeRow> Z(n - 1);
+    std::vector<int64_t> chain;
+    chain.reserve(n);
+    for (int64_t k = 0; k < n - 1; ++k) {
+        if (chain.empty()) {
+            for (int64_t i = 0; i < n; ++i)
+                if (alive[i]) { chain.push_back(i); break; }
+        }
+        int64_t x, y;
+        for (;;) {
+            x = chain.back();
+            const double* row = D.data() + x * n;
+            // masked first-min scan (strict <: first minimum wins, exactly
+            // like np.min + np.argmin over the alive-masked row)
+            double m = kInf;
+            int64_t am = 0;
+            for (int64_t j = 0; j < n; ++j) {
+                if (!alive[j] || j == x) continue;
+                if (row[j] < m) { m = row[j]; am = j; }
+            }
+            if (chain.size() > 1) {
+                const int64_t prev = chain[chain.size() - 2];
+                const double rp = (alive[prev] && prev != x) ? row[prev]
+                                                             : kInf;
+                y = (m < rp) ? am : prev;
+                if (y == prev) break;
+            } else {
+                y = am;
+            }
+            chain.push_back(y);
+        }
+        chain.pop_back();
+        chain.pop_back();
+        if (x > y) std::swap(x, y);
+        const int64_t nx = size[x], ny = size[y];
+        const double d_xy = D[x * n + y];
+        Z[k] = {x, y, d_xy};
+        alive[x] = 0;
+        size[y] = nx + ny;
+        // Lance-Williams Ward update, scipy/NumPy operand order:
+        // sqrt((ni+nx)*t*d_xi*d_xi + (ni+ny)*t*d_yi*d_yi - ni*t*d_xy*d_xy)
+        for (int64_t i = 0; i < n; ++i) {
+            if (!alive[i] || i == y) continue;
+            const double ni = (double)size[i];
+            const double t = 1.0 / (double)(nx + ny + size[i]);
+            const double d_xi = D[x * n + i];
+            const double d_yi = D[y * n + i];
+            const double nv = std::sqrt((ni + (double)nx) * t * d_xi * d_xi
+                                        + (ni + (double)ny) * t * d_yi * d_yi
+                                        - ni * t * d_xy * d_xy);
+            D[y * n + i] = nv;
+            D[i * n + y] = nv;
+        }
+    }
+    // stable sort by merge distance (np.argsort kind='stable')
+    std::vector<int64_t> order(n - 1);
+    for (int64_t i = 0; i < n - 1; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                         return Z[a].dist < Z[b].dist;
+                     });
+    // union-find relabel in sorted order (scipy label()): slot index ->
+    // cluster id (leaf 0..n-1, merge i -> n+i)
+    std::vector<int64_t> parent(2 * n - 1);
+    for (int64_t i = 0; i < 2 * n - 1; ++i) parent[i] = i;
+    auto find = [&](int64_t i) {
+        int64_t root = i;
+        while (parent[root] != root) root = parent[root];
+        while (parent[i] != root) {
+            const int64_t nxt = parent[i];
+            parent[i] = root;
+            i = nxt;
+        }
+        return root;
+    };
+    std::vector<std::pair<int64_t, int64_t>> merges(n - 1);
+    for (int64_t i = 0; i < n - 1; ++i) {
+        int64_t xr = find(Z[order[i]].x), yr = find(Z[order[i]].y);
+        if (xr > yr) std::swap(xr, yr);
+        merges[i] = {xr, yr};
+        parent[xr] = parent[yr] = n + i;
+    }
+    // incremental cuts: apply merges small-K-ward from K=min(kmax,n) to 2,
+    // labels numbered by first leaf occurrence
+    std::vector<int64_t> root(n);
+    for (int64_t i = 0; i < n; ++i) root[i] = i;
+    std::vector<std::vector<int32_t>> members(2 * n - 1);
+    for (int64_t i = 0; i < n; ++i) members[i] = {(int32_t)i};
+    std::vector<int32_t> remap(2 * n - 1);
+    int64_t m = 0;
+    const int64_t ktop = std::min<int64_t>(kmax, n);
+    for (int64_t k = ktop; k >= 2; --k) {
+        while (m < n - k) {
+            const auto [a, b] = merges[m];
+            auto& ma = members[a];
+            auto& mb = members[b];
+            auto& mc = members[n + m];
+            mc.reserve(ma.size() + mb.size());
+            mc.insert(mc.end(), ma.begin(), ma.end());
+            mc.insert(mc.end(), mb.begin(), mb.end());
+            for (const int32_t leaf : mc) root[leaf] = n + m;
+            ma.clear(); ma.shrink_to_fit();
+            mb.clear(); mb.shrink_to_fit();
+            ++m;
+        }
+        int32_t next_id = 0;
+        std::fill(remap.begin(), remap.end(), (int32_t)-1);
+        int32_t* lrow = labels + (k - 1) * n;
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t& slot = remap[root[i]];
+            if (slot < 0) slot = next_id++;
+            lrow[i] = slot;
+        }
+    }
+}
+
+}  // namespace
+
+// sims: concatenated (n_w, n_w) float64 blocks at sim_off[w] doubles;
+// labels: concatenated (kmax, n_w) int32 blocks at lab_off[w] ints.
+void ward_cut_batch(const double* sims, const int64_t* sim_off,
+                    const int32_t* ns, int64_t n_windows, int32_t kmax,
+                    int32_t* labels, const int64_t* lab_off,
+                    int32_t n_threads) {
+    auto run = [&](int64_t w0, int64_t w1) {
+        for (int64_t w = w0; w < w1; ++w)
+            ward_cut_one(sims + sim_off[w], ns[w], kmax,
+                         labels + lab_off[w]);
+    };
+    if (n_threads <= 1 || n_windows < 2) {
+        run(0, n_windows);
+        return;
+    }
+    std::vector<std::thread> pool;
+    const int64_t t = std::min<int64_t>(n_threads, n_windows);
+    for (int64_t w = 0; w < t; ++w) {
+        const int64_t w0 = n_windows * w / t, w1 = n_windows * (w + 1) / t;
+        if (w0 < w1) pool.emplace_back(run, w0, w1);
     }
     for (auto& th : pool) th.join();
 }

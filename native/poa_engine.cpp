@@ -160,8 +160,14 @@ struct RowKernel<int32_t> {
     __m512i off = _mm512_mullo_epi32(idx0, _mm512_set1_epi32(-kGap));
     __m512i carry = kneg;
     const int32_t* Hp0 = prows[0];
+    // The final partial vector runs full-width into the +32-element slack
+    // past each row (allocated in align_seq_t): overrunning loads read and
+    // overrunning stores write only lanes for cells >= n, and the prefix
+    // max propagates strictly low->high lanes, so garbage there never
+    // reaches a valid cell.  A scalar tail (serial prev+gap chain) cost as
+    // much as all the vector iterations on ~400 bp candidate-window rows.
     int j = 0;
-    for (; j + 16 <= n; j += 16) {
+    for (; j < n; j += 16) {
       __m512i d = _mm512_add_epi32(_mm512_loadu_si512(Hp0 + j - 1),
                                    _mm512_loadu_si512(S + j));
       __m512i u = _mm512_add_epi32(_mm512_loadu_si512(Hp0 + j), gv);
@@ -184,19 +190,6 @@ struct RowKernel<int32_t> {
       carry = _mm512_permutexvar_epi32(lastlane, c);
       _mm512_storeu_si512(Hi + j, _mm512_sub_epi32(c, off));
       off = _mm512_add_epi32(off, g16);
-    }
-    if (j < n) {
-      int32_t prev = j ? Hi[j - 1] : kNeg;
-      for (; j < n; j++) {
-        int32_t b = j == 0 ? base0
-                           : std::max(Hp0[j - 1] + S[j], Hp0[j] + kGap);
-        for (int k = 1; k < npred && j > 0; k++) {
-          const int32_t* Hq = prows[k];
-          b = std::max(b, std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
-        }
-        Hi[j] = std::max(b, prev + kGap);
-        prev = Hi[j];
-      }
     }
   }
 };
@@ -225,8 +218,9 @@ struct RowKernel<int16_t> {
         (__mmask32)(~0u << 8), (__mmask32)(~0u << 16)};
     __m512i carry = kneg;
     const int16_t* Hp0 = prows[0];
+    // full-width tail into the row slack — see the int32 kernel's note
     int j = 0;
-    for (; j + 32 <= n; j += 32) {
+    for (; j < n; j += 32) {
       __m512i d = _mm512_adds_epi16(_mm512_loadu_si512(Hp0 + j - 1),
                                     _mm512_loadu_si512(S + j));
       __m512i u = _mm512_adds_epi16(_mm512_loadu_si512(Hp0 + j), gv);
@@ -250,19 +244,6 @@ struct RowKernel<int16_t> {
       carry = _mm512_permutexvar_epi16(lastlane, c);
       _mm512_storeu_si512(Hi + j, _mm512_subs_epi16(c, off));
       off = _mm512_adds_epi16(off, g32);
-    }
-    if (j < n) {
-      int16_t prev = j ? Hi[j - 1] : kNeg16;
-      for (; j < n; j++) {
-        int32_t b = j == 0 ? base0
-                           : std::max(Hp0[j - 1] + S[j], Hp0[j] + kGap);
-        for (int k = 1; k < npred && j > 0; k++) {
-          const int16_t* Hq = prows[k];
-          b = std::max(b, std::max(Hq[j - 1] + S[j], Hq[j] + kGap));
-        }
-        Hi[j] = (int16_t)std::max(b, prev + kGap);
-        prev = Hi[j];
-      }
     }
   }
 };

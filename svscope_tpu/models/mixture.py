@@ -215,10 +215,35 @@ def ward_init_labels(seqdatamx: np.ndarray, kmax: int,
 
     ward_linkage receives the (N, N) similarity matrix as raw observations,
     exactly like the reference feeds scipy (src/ReadsCluster.py:242-243).
+    Hot path is the C++ kernel (native/hcluster.cpp::ward_cut_batch —
+    bitwise label parity tested); _ward_init_labels_py is the NumPy
+    fallback/oracle."""
+    if sim is None:
+        n = seqdatamx.shape[0]
+        if n < 2:
+            return np.zeros((kmax, n), np.int32)
+        sim = pairwise_identity(seqdatamx)
+    return ward_cut_many([sim], kmax, n_threads=1)[0]
+
+
+def ward_cut_many(sims: list[np.ndarray], kmax: int,
+                  n_threads: int | None = None) -> list[np.ndarray]:
+    """Batched Ward-cut labels over per-window (n, n) similarity
+    matrices: native C++ (threaded across windows) with NumPy fallback."""
+    try:
+        from ..native.hcluster import ward_cut_batch as _wcb
+        return _wcb(sims, kmax, n_threads=n_threads)
+    except Exception:                       # no g++ / load failure
+        return [_ward_init_labels_py(None, kmax, sim=s) for s in sims]
+
+
+def _ward_init_labels_py(seqdatamx: np.ndarray | None, kmax: int,
+                         sim: np.ndarray | None = None) -> np.ndarray:
+    """Pure-NumPy ward_init_labels (the native kernel's parity oracle).
     All K cuts come from one incremental union-find pass over the merge
     list (identical labels to per-K _cut_tree_labels; the per-K rebuild
     dominated the EM host-prep profile)."""
-    n = seqdatamx.shape[0]
+    n = seqdatamx.shape[0] if sim is None else sim.shape[0]
     labels = np.zeros((kmax, n), np.int32)
     if n < 2:
         return labels
@@ -712,20 +737,26 @@ def _raw_em_dispatch(feats: list[np.ndarray], max_c: int,
             oh_f = oh.reshape(nb, n_pad, nf_pad * ALPHA).astype(np.float32)
             sims = np.matmul(oh_f, oh_f.transpose(0, 2, 1))  # (nb, n, n)
             zps_b = oh.sum(axis=1)                    # (nb, nf_pad, ALPHA)
+        sim_list = []
         for bi, i in enumerate(idxs):
             x = np.asarray(feats[i])
             n, nf = x.shape
-            n_k = max(min(max_c + 1, n) - 1, 1)
+            nks[bi] = max(min(max_c + 1, n) - 1, 1)
             if sims is not None:
                 sim = (sims[bi, :n, :n] / max(nf, 1)).astype(np.float64)
                 np.fill_diagonal(sim, 1.0)
                 zps[bi] = float((zps_b[bi, :nf] == 0).sum())
             else:
-                sim = None
+                sim = pairwise_identity(x)
                 zps[bi] = zero_param_count(x)
-            hard_b[bi, :min(n_k, MAX_K), :n] = ward_init_labels(
-                x, min(n_k, MAX_K), sim=sim)
-            nks[bi] = n_k
+            sim_list.append(sim)
+        # one threaded C++ call for every window's Ward-cut init (the
+        # per-window Python NN-chain was 23% of the localGraph chunk wall)
+        cuts = ward_cut_many(sim_list, MAX_K)
+        for bi, i in enumerate(idxs):
+            n = sim_list[bi].shape[0]
+            kmin = min(int(nks[bi]), MAX_K)
+            hard_b[bi, :kmin, :n] = cuts[bi][:kmin]
         if len(idxs) < b_pad:                # batch-axis padding
             codes[len(idxs):] = codes[0]
             hard_b[len(idxs):] = hard_b[0]

@@ -1,12 +1,14 @@
 """Native (C++) runtime components, loaded via ctypes.
 
-libpoa.so is built from native/poa_engine.cpp; if the shared object is
-missing or stale it is rebuilt on import with g++ (no pip/pybind needed).
+libpoa.so is built from native/poa_engine.cpp; build/load policy
+(content-hash staleness, CPU-feature-gated prebuilts) is shared across
+the native libs — see native/_build.py.
 """
 from __future__ import annotations
 
 import os
-import subprocess
+
+from ._build import ensure_lib as _ensure
 
 _HERE = os.path.dirname(__file__)
 _REPO = os.path.dirname(os.path.dirname(_HERE))
@@ -15,11 +17,4 @@ _SRC = os.path.join(_REPO, "native", "poa_engine.cpp")
 
 
 def ensure_libpoa() -> str:
-    if os.path.exists(_SRC):
-        if (not os.path.exists(LIBPOA)
-                or os.path.getmtime(LIBPOA) < os.path.getmtime(_SRC)):
-            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                            "-o", LIBPOA, _SRC], check=True)
-    if not os.path.exists(LIBPOA):
-        raise RuntimeError("libpoa.so unavailable and source missing")
-    return LIBPOA
+    return _ensure(_SRC, LIBPOA)

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import ctypes as ct
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -30,12 +29,8 @@ def lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if os.path.exists(_SRC) and (
-                not os.path.exists(LIBBAM)
-                or os.path.getmtime(LIBBAM) < os.path.getmtime(_SRC)):
-            subprocess.run(["g++", "-O3", "-march=native", "-shared",
-                            "-fPIC", "-o", LIBBAM, _SRC, "-lz"], check=True)
-        l = ct.CDLL(LIBBAM)
+        from ._build import ensure_lib as _ensure
+        l = ct.CDLL(_ensure(_SRC, LIBBAM, ("-lz",)))
         l.bam_scan_open.restype = ct.c_void_p
         l.bam_scan_open.argtypes = [ct.c_char_p, ct.c_int64]
         l.bam_scan_open_lazy.restype = ct.c_void_p

@@ -18,6 +18,7 @@ to host alignment transparently.
 from __future__ import annotations
 
 import logging
+import os
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -33,7 +34,10 @@ N_LADDER = (128, 256, 512, 1024, 2048)
 L_LADDER = (64, 128, 256, 512, 1024, 2048)
 B_LADDER = (8, 32, 128, 256)
 MAX_BATCH = 256
-HOST_THREADS = 8
+# Native-engine fan-out: more threads than cores actively hurts (the
+# round-5 plateau probe measured 195 -> 225 w/s going 8 -> 2 threads on a
+# 2-core host — the pipeline already runs two host stages concurrently)
+HOST_THREADS = min(8, os.cpu_count() or 1)
 
 _DEFAULT_OVERSIZE = (None, "sp")   # (mesh, axis) fallback when not passed
 

@@ -366,3 +366,51 @@ def test_nan_bic_retry_labels_only(monkeypatch):
     assert calls["n"] == 2
     for c, o in zip(clean, out):
         assert o[0] == c[0] and (o[2] == c[2]).all()
+
+
+def test_native_ward_cut_batch_bitwise_matches_python():
+    """The C++ ward_cut_batch (native/hcluster.cpp) must produce the exact
+    labels of the NumPy NN-chain oracle (_ward_init_labels_py, itself
+    scipy-parity-tested above) — it replaces the per-window Python Ward
+    init on the EM dispatch hot path (23% of the localGraph chunk wall
+    before round 5)."""
+    pytest.importorskip("svscope_tpu.native.hcluster")
+    from svscope_tpu.native.hcluster import ward_cut_batch
+    from svscope_tpu.models.mixture import (_ward_init_labels_py,
+                                            pairwise_identity)
+    rng = np.random.default_rng(7)
+    sims = []
+    for trial in range(60):
+        n = int(rng.integers(2, 40))
+        nf = int(rng.integers(10, 80))
+        x = rng.integers(0, 5, (n, nf)).astype(np.int8)
+        if trial % 3 == 0:      # tie-heavy: few distinct rows
+            base = rng.integers(0, 5, (3, nf))
+            x = base[rng.integers(0, 3, n)].astype(np.int8)
+        sims.append(pairwise_identity(x))
+    # one heavy-tail window (500-read selection cap,
+    # src/WindowSelection_v8.py:600,614)
+    sims.append(pairwise_identity(
+        rng.integers(0, 5, (500, 40)).astype(np.int8)))
+    py = [_ward_init_labels_py(None, 9, sim=s) for s in sims]
+    nat = ward_cut_batch(sims, 9, n_threads=2)
+    nat1 = ward_cut_batch(sims, 9, n_threads=1)
+    for a, b, c in zip(py, nat, nat1):
+        assert a.shape == b.shape and (a == b).all()
+        assert (b == c).all()           # threading never changes labels
+
+
+def test_ward_init_labels_wrapper_equals_oracle():
+    """Public ward_init_labels (native fast path + fallback) always equals
+    the NumPy oracle, with and without a precomputed sim."""
+    from svscope_tpu.models.mixture import (_ward_init_labels_py,
+                                            pairwise_identity,
+                                            ward_init_labels)
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 3, 9, 24):
+        x = rng.integers(0, 5, (n, 30)).astype(np.int8)
+        want = _ward_init_labels_py(x, 9)
+        assert (ward_init_labels(x, 9) == want).all()
+        if n >= 2:
+            sim = pairwise_identity(x)
+            assert (ward_init_labels(x, 9, sim=sim) == want).all()
