@@ -30,20 +30,27 @@ WIN_LEN = 300
 OFFSET = 50
 INS_LEN = 60
 BASELINE_WIN_PER_S_RECORDED = 2.2  # ref EMCluster*6 measured on this host
+# heavy tail: selection admits up to 500 spanning reads per window
+# (reference src/WindowSelection_v8.py:600,614); this tier exercises the
+# >256-read mp EM routing and the native Ward init in the measured path
+HEAVY_WINDOWS = 32
+HEAVY_READS = 400
 
 
-def make_window_payloads(n, rng):
-    """WindowData-like payloads: ref window + reads, half with an INS."""
+def make_window_payloads(n, rng, n_reads=N_READS, ins_carriers=8):
+    """WindowData-like payloads: ref window + reads, the first
+    ins_carriers (tumor) reads carrying a 60 bp INS.  The default 8-of-24
+    workload is pinned across rounds (tests/test_perf.py)."""
     from svscope_tpu.engine.datamaker import WindowData
     wins = []
     for w in range(n):
         ref = "".join(rng.choice(list("ACGT"), WIN_LEN + 2 * OFFSET))
         ins = "".join(rng.choice(list("ACGT"), INS_LEN))
         mid = len(ref) // 2
-        reads, ids = [], []
-        for i in range(N_READS):
+        reads = []
+        for i in range(n_reads):
             base = ref
-            if i < N_READS // 2 and i < 8:
+            if i < min(n_reads // 2, ins_carriers):
                 base = ref[:mid] + ins + ref[mid:]
             b = list(base)
             for _ in range(4):          # light ONT-like noise
@@ -56,11 +63,9 @@ def make_window_payloads(n, rng):
                 else:
                     b.pop(p)
             reads.append("".join(b))
-            tag = "S_tumor" if i % 2 == 0 or i < 8 else "S_normal"
-            ids.append(f"{tag}|w{w}r{i}")
-        # ensure both tags >= 3
-        ids = ([f"S_tumor|w{w}r{i}" for i in range(N_READS // 2)]
-               + [f"S_normal|w{w}r{i}" for i in range(N_READS // 2, N_READS)])
+        # both tags >= 3: first half tumor (with INS), second half normal
+        ids = ([f"S_tumor|w{w}r{i}" for i in range(n_reads // 2)]
+               + [f"S_normal|w{w}r{i}" for i in range(n_reads // 2, n_reads)])
         wins.append(WindowData([ref] + reads, np.array(ids),
                                ref[:OFFSET], ref[-OFFSET:],
                                f"chr1\t{1000 + w * 1000}\t{1000 + w * 1000 + WIN_LEN}",
@@ -109,7 +114,21 @@ def measure_stages(wins):
             "stage_c_consensus_s": round(t3 - t2, 3)}
 
 
-def measure_reference_baseline(budget_s=60.0):
+def measure_reference_baseline(budget_s=60.0, n_runs=5):
+    """Per-window rate of the reference engine, two bounds (round-5
+    verdict: harden the noisy single-proxy denominator):
+
+    * em_only: reference EMCluster on matched feature matrices, pooled
+      over n_runs (median + spread) — omits the reference's pyspoa cost,
+      so vs_baseline computed from it UNDERSTATES our speedup.
+    * poa_incl: EMCluster plus this repo's host C++ POA (MSA + consensus
+      re-POA, stand-in for pyspoa — it reproduces poa(seqs,1) output
+      exactly) on the same windows — the defensible upper bound.
+
+    Both scaled by the reference's 6-process localGraph pool cap
+    (src/SVscope.py:158-161), clamped to this machine's cores.
+    Returns dict {em_only: [med, lo, hi], poa_incl: float | None}.
+    """
     ref_src = "/root/reference/src"
     rng = np.random.default_rng(1)
     feats = []
@@ -120,60 +139,127 @@ def measure_reference_baseline(budget_s=60.0):
                             np.repeat(b, N_READS // 2, 0)])
         flip = rng.random(x.shape) < 0.03
         feats.append(np.where(flip, rng.integers(0, 5, x.shape), x))
+    fallback = {"em_only": [BASELINE_WIN_PER_S_RECORDED] * 3,
+                "poa_incl": None}
     if not os.path.isdir(ref_src):
-        return BASELINE_WIN_PER_S_RECORDED
+        return fallback
     try:
         import matplotlib
         matplotlib.use("Agg")
         sys.path.insert(0, ref_src)
         import ReadsCluster as ref_rc
     except Exception:
-        return BASELINE_WIN_PER_S_RECORDED
+        return fallback
     finally:
         if ref_src in sys.path:
             sys.path.remove(ref_src)
-    t0 = time.time()
-    n_done = 0
-    for x in feats:
-        ref_rc.EMCluster(x, initselection=1)
-        n_done += 1
-        if time.time() - t0 > budget_s:
-            break
-    per_proc = n_done / (time.time() - t0)
-    # reference pool is capped at 6 processes (src/SVscope.py:158-161) but
-    # can't use more cores than the machine has
-    return per_proc * min(6, os.cpu_count() or 1)
+    scale = min(6, os.cpu_count() or 1)
+    rates = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        n_done = 0
+        for x in feats:
+            ref_rc.EMCluster(x, initselection=1)
+            n_done += 1
+            if time.time() - t0 > budget_s / n_runs:
+                break
+        rates.append(n_done / (time.time() - t0) * scale)
+    rates.sort()
+    em_only = [rates[len(rates) // 2], rates[0], rates[-1]]
+    # POA-inclusive bound: per-window host C++ POA (full MSA + 2-cluster
+    # consensus re-POA, the reference's spoa calls at DataScanner.py:207
+    # and DecisionMaker.py:160,171) on one EM-rate's worth of windows
+    poa_incl = None
+    try:
+        from svscope_tpu.native.poa import poa_native
+        wins = make_window_payloads(8, np.random.default_rng(2))
+        t0 = time.time()
+        for w in wins:
+            _cons, msa = poa_native(w.sequences)
+            half = len(msa) // 2
+            poa_native([r.replace("-", "") for r in msa[1:1 + half]])
+            poa_native([r.replace("-", "") for r in msa[1 + half:]])
+        poa_s_per_win = (time.time() - t0) / len(wins)
+        em_s_per_win = scale / em_only[0]   # serial seconds per window
+        poa_incl = scale / (em_s_per_win + poa_s_per_win)
+    except Exception:
+        pass
+    return {"em_only": em_only, "poa_incl": poa_incl}
 
 
-def run_measurement(n_windows=N_WINDOWS):
+def measure_heavy_tier():
+    """300-500-read windows (selection cap 500, WindowSelection_v8.py:600)
+    through the production batch path: first measured exercise of the mp
+    read-parallel EM routing + native Ward init at scale (round-5 verdict
+    task 6)."""
+    from svscope_tpu.engine import localgraph as lg
+    rng = np.random.default_rng(5)
+    wins = make_window_payloads(HEAVY_WINDOWS, rng, n_reads=HEAVY_READS,
+                                ins_carriers=HEAVY_READS // 2)
+    lg.process_window_batch(wins, device_poa=False)       # warm/compile
+    trials = []
+    for _ in range(2):
+        t0 = time.time()
+        records = lg.process_window_batch(wins, device_poa=False)
+        trials.append(round(time.time() - t0, 3))
+        n_som = sum(1 for r in records if str(r[9]).endswith("EMOutput"))
+        assert n_som >= len(wins) * 0.8, f"heavy tier: {n_som} somatic"
+    # stage split on the same chunk (ward init lives in stage B dispatch;
+    # the native path keeps it off the serial wall)
+    entries, ready = lg._stage_a(wins, "tumor", 3, 0.05, False, None)
+    t1 = time.time()
+    fetch = lg._dispatch_em(ready, None)
+    t2 = time.time()
+    fetch()
+    t3 = time.time()
+    return {"n_windows": HEAVY_WINDOWS, "n_reads": HEAVY_READS,
+            "w_per_s": round(HEAVY_WINDOWS / min(trials), 2),
+            "trial_s": trials,
+            "em_dispatch_prep_s": round(t2 - t1, 3),
+            "em_device_wait_s": round(t3 - t2, 3)}
+
+
+def run_measurement(n_windows=N_WINDOWS, heavy=True):
     rng = np.random.default_rng(0)
     wins = make_window_payloads(n_windows, rng)
     import jax
     from svscope_tpu.engine.localgraph import _probe_device_latency
     probe = (None if jax.default_backend() == "cpu"
              else round(_probe_device_latency(), 4))
+    if probe is not None and not np.isfinite(probe):
+        probe = "timeout"      # keep the JSON line strict-parseable
     ours, trials = measure_ours(wins)
     stages = measure_stages(wins)
     base = measure_reference_baseline()
-    return {
+    med, lo, hi = base["em_only"]
+    out = {
         "metric": "localGraph windows/s (300bp, 24 reads; native POA + TPU EM)",
         "value": round(ours, 2),
         "unit": "windows/s",
-        "vs_baseline": round(ours / base, 2),
+        "vs_baseline": round(ours / med, 2),
         "n_windows": n_windows,
         # regression forensics (round-3 verdict: the 180-vs-202 w/s swing
-        # was unanswerable from artifacts alone)
-        "baseline_w_per_s": round(base, 3),
+        # was unanswerable from artifacts alone); round 5: pooled baseline
+        # median[min,max] + the POA-inclusive bracket (verdict task 7)
+        "baseline_w_per_s": round(med, 3),
+        "baseline_w_per_s_spread": [round(lo, 3), round(hi, 3)],
         "trial_s": trials,
         "stages": stages,
         "device_probe_s": probe,
     }
+    if base["poa_incl"]:
+        out["vs_baseline_poa_incl"] = round(ours / base["poa_incl"], 2)
+        out["baseline_poa_incl_w_per_s"] = round(base["poa_incl"], 3)
+    if heavy:
+        out["heavy_tier"] = measure_heavy_tier()
+    return out
 
 
 def main():
     if "--inner" in sys.argv:
         small = "--small" in sys.argv
-        print(json.dumps(run_measurement(64 if small else N_WINDOWS)))
+        print(json.dumps(run_measurement(64 if small else N_WINDOWS,
+                                         heavy=not small)))
         return
     # watchdog wrapper: the tunneled TPU backend can wedge (a process killed
     # mid-device-call jams the queue); never let that hang the driver.  A

@@ -83,7 +83,10 @@ constexpr double kInf = std::numeric_limits<double>::infinity();
 
 // pdist with scipy's sequential per-pair accumulation over features of the
 // (n, n) similarity matrix (observations = sim rows, nf = n), into D with
-// +inf diagonal.  Identical element order to pdist_seq above.
+// +inf diagonal.  Identical element order to pdist_seq above; only the
+// upper triangle is computed (each pair once) and mirrored — the matrix
+// is symmetric by construction, so this halves the O(n^3) work without
+// touching any pair's accumulation order.
 void pdist_sim(const double* sim, int64_t n, double* D,
                std::vector<double>& xt) {
     xt.resize(n * n);
@@ -91,24 +94,37 @@ void pdist_sim(const double* sim, int64_t n, double* D,
         for (int64_t k = 0; k < n; ++k) xt[k * n + i] = sim[i * n + k];
     for (int64_t i = 0; i < n; ++i) {
         double* row = D + i * n;
-        std::memset(row, 0, sizeof(double) * n);
+        std::memset(row + i, 0, sizeof(double) * (n - i));
         for (int64_t k = 0; k < n; ++k) {
             const double xi = xt[k * n + i];
             const double* xr = xt.data() + k * n;
-            for (int64_t j = 0; j < n; ++j) {
+            for (int64_t j = i + 1; j < n; ++j) {
                 const double d = xi - xr[j];
                 row[j] += d * d;
             }
         }
-        for (int64_t j = 0; j < n; ++j) row[j] = std::sqrt(row[j]);
+        for (int64_t j = i + 1; j < n; ++j) row[j] = std::sqrt(row[j]);
         row[i] = kInf;
     }
+    for (int64_t i = 1; i < n; ++i)
+        for (int64_t j = 0; j < i; ++j) D[i * n + j] = D[j * n + i];
 }
 
 struct MergeRow { int64_t x, y; double dist; };
 
 // One window: sim (n, n) row-major -> labels (kmax, n) int32, rows k-1
 // hold the K=k cut (row 0 = all zeros), first-occurrence numbering.
+//
+// Dead nodes are POISONED: when a node dies its row and column in D are
+// set to +inf, so the NN-chain scan is a branchless full-row min + a
+// first-equal-index pass (first minimum wins, exactly np.min+np.argmin
+// over the alive-masked row — inf never wins while >=2 nodes live), and
+// the Lance-Williams update runs branchless over the whole row (dead
+// lanes read inf and write inf back; all ops are elementwise IEEE in the
+// NumPy operand order, so results are bitwise identical to the masked
+// scalar loop — tested).  Assumes no NaN distances (valid inputs cannot
+// produce them; the Python oracle's min/argmin would also misorder under
+// NaN).
 void ward_cut_one(const double* sim, int32_t n32, int32_t kmax,
                   int32_t* labels) {
     const int64_t n = n32;
@@ -117,6 +133,7 @@ void ward_cut_one(const double* sim, int32_t n32, int32_t kmax,
     std::vector<double> D(n * n), xt;
     pdist_sim(sim, n, D.data(), xt);
     std::vector<int64_t> size(n, 1);
+    std::vector<double> dsize(n, 1.0);
     std::vector<char> alive(n, 1);
     std::vector<MergeRow> Z(n - 1);
     std::vector<int64_t> chain;
@@ -130,19 +147,14 @@ void ward_cut_one(const double* sim, int32_t n32, int32_t kmax,
         for (;;) {
             x = chain.back();
             const double* row = D.data() + x * n;
-            // masked first-min scan (strict <: first minimum wins, exactly
-            // like np.min + np.argmin over the alive-masked row)
             double m = kInf;
+            for (int64_t j = 0; j < n; ++j) m = std::min(m, row[j]);
             int64_t am = 0;
-            for (int64_t j = 0; j < n; ++j) {
-                if (!alive[j] || j == x) continue;
-                if (row[j] < m) { m = row[j]; am = j; }
-            }
+            for (int64_t j = 0; j < n; ++j)
+                if (row[j] == m) { am = j; break; }
             if (chain.size() > 1) {
                 const int64_t prev = chain[chain.size() - 2];
-                const double rp = (alive[prev] && prev != x) ? row[prev]
-                                                             : kInf;
-                y = (m < rp) ? am : prev;
+                y = (m < row[prev]) ? am : prev;
                 if (y == prev) break;
             } else {
                 y = am;
@@ -159,17 +171,32 @@ void ward_cut_one(const double* sim, int32_t n32, int32_t kmax,
         size[y] = nx + ny;
         // Lance-Williams Ward update, scipy/NumPy operand order:
         // sqrt((ni+nx)*t*d_xi*d_xi + (ni+ny)*t*d_yi*d_yi - ni*t*d_xy*d_xy)
-        for (int64_t i = 0; i < n; ++i) {
-            if (!alive[i] || i == y) continue;
-            const double ni = (double)size[i];
-            const double t = 1.0 / (double)(nx + ny + size[i]);
-            const double d_xi = D[x * n + i];
-            const double d_yi = D[y * n + i];
-            const double nv = std::sqrt((ni + (double)nx) * t * d_xi * d_xi
-                                        + (ni + (double)ny) * t * d_yi * d_yi
-                                        - ni * t * d_xy * d_xy);
-            D[y * n + i] = nv;
-            D[i * n + y] = nv;
+        // Branchless over every i: dead i has d_yi = inf -> nv = inf
+        // (stays poisoned); i = y has d_yi = D[y][y] = inf -> diagonal
+        // stays inf; i = x gets overwritten by the poison pass below.
+        {
+            const double dnx = (double)nx, dny = (double)ny;
+            const double nxny = (double)(nx + ny);
+            double* rowx = D.data() + x * n;
+            double* rowy = D.data() + y * n;
+            const double* ds = dsize.data();
+            for (int64_t i = 0; i < n; ++i) {
+                const double ni = ds[i];
+                const double t = 1.0 / (nxny + ni);
+                const double d_xi = rowx[i];
+                const double d_yi = rowy[i];
+                rowy[i] = std::sqrt((ni + dnx) * t * d_xi * d_xi
+                                    + (ni + dny) * t * d_yi * d_yi
+                                    - ni * t * d_xy * d_xy);
+            }
+            for (int64_t i = 0; i < n; ++i) rowx[i] = kInf;   // poison row
+            for (int64_t i = 0; i < n; ++i) {
+                D[i * n + y] = rowy[i];                 // mirror column y
+                D[i * n + x] = kInf;                    // poison column x
+            }
+            rowy[y] = kInf;                             // keep diagonal
+            rowy[x] = kInf;
+            dsize[y] = nxny;
         }
     }
     // stable sort by merge distance (np.argsort kind='stable')

@@ -70,9 +70,21 @@ def pairwise_identity(seqdatamx: np.ndarray) -> np.ndarray:
     quirks are replicated because they shape the initial clustering.
     """
     x = np.asarray(seqdatamx)
-    nf = max(x.shape[1], 1)
-    eq = (x[:, None, :] == x[None, :, :]).sum(axis=2) / nf
-    out = eq.astype(np.float64)
+    n, nf_raw = x.shape
+    nf = max(nf_raw, 1)
+    if n * n * nf_raw > (1 << 21):
+        # one-hot matmul: eq(i,j) = sum_a <x_i==a, x_j==a>.  Counts are
+        # integers <= nf << 2^24, exact in f32, so the float64 division
+        # below is bitwise identical to the broadcast path (BLAS does the
+        # work without the (n, n, nf) bool tensor — 30x at the 400-500
+        # read heavy tail, round-5 bench tier)
+        oh = (x[..., None] == np.arange(ALPHA, dtype=x.dtype))
+        oh_f = oh.reshape(n, nf_raw * ALPHA).astype(np.float32)
+        eq = (oh_f @ oh_f.T).astype(np.float64)
+        out = eq / nf
+    else:
+        eq = (x[:, None, :] == x[None, :, :]).sum(axis=2) / nf
+        out = eq.astype(np.float64)
     np.fill_diagonal(out, 1.0)
     return out
 

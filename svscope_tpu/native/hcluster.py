@@ -34,8 +34,11 @@ _lib = None
 
 def ensure_lib() -> str:
     # -ffp-contract=off: an FMA would skip the d*d rounding step that
-    # scipy's (and the NumPy fallback's) separate ops perform
-    return _ensure(_SRC, LIB, ("-ffp-contract=off",))
+    # scipy's (and the NumPy fallback's) separate ops perform.
+    # -fno-math-errno lets gcc vectorize sqrt (vsqrtpd is exact IEEE;
+    # only the errno side effect is dropped) in the branchless
+    # Lance-Williams update.
+    return _ensure(_SRC, LIB, ("-ffp-contract=off", "-fno-math-errno"))
 
 
 _dp = ctypes.POINTER(ctypes.c_double)
