@@ -128,6 +128,12 @@ import os as _os
 # profiling knob (tools/probe only): skip the canonical sort and use the
 # identity order — results are WRONG; isolates the sort's share of wall
 _ABLATE_SORT = bool(_os.environ.get("SVSCOPE_FUSED_NOSORT"))
+# probe knob: force every row down the cheap chain path in the pk build.
+# Read ONCE at import (like _ABLATE_SORT): the flag is baked into the
+# traced program, so toggling the env var mid-process would otherwise
+# silently reuse the previously compiled variant (jit cache key does not
+# include it).
+_ABLATE_PK_DPC = _os.environ.get("SVSCOPE_PK_ABLATE") == "dpc"
 
 
 def _toposort(pred_node, group_min, n_nodes, ncap: int):
@@ -478,8 +484,7 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
         chain_all = (chainw.reshape(B // 8, 8, ncap).all(axis=1)
                      .astype(jnp.int32).reshape(B // 8, 1, ncap))
         chainw32 = chainw.astype(jnp.int32)
-        import os as _os2
-        if _os2.environ.get("SVSCOPE_PK_ABLATE") == "dpc":
+        if _ABLATE_PK_DPC:
             # probe: force every row down the cheap chain path
             chain_all = jnp.ones_like(chain_all)
             chainw32 = jnp.ones_like(chainw32)
@@ -496,7 +501,7 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
         seqv = seqv.at[:, 1:].set(seq)
         ovf = ovf | cyclic.astype(jnp.int32).reshape(B, 1)
         nn, tctr, ovf, gs, path_round = fused_round_call(
-            chars_r, sink_r, pred_packed, chain_all, chainw32, order,
+            chars_r, sink_r, pred_packed, chain_all, chainw32,
             gminr, seqv, seq, slen.reshape(B, 1), nn_eff.reshape(B, 1),
             nn, tctr, ovf, gs, ncap=ncap, n_max=ncap, l_max=l_max,
             interpret=interpret)
@@ -685,6 +690,17 @@ def _dispatch_build(seqs_a, lens_a, nseq_a, *, ncap: int, r_max: int,
             fn = shard_map(impl, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
             return jax.jit(fn)(*dev)
+        # the requested kernel engine cannot shard this batch; make the
+        # downgrade visible — a probe/bench run forcing the engine via
+        # SVSCOPE_FUSED_ENGINE would otherwise silently measure 'xla'
+        if _os.environ.get("SVSCOPE_FUSED_ENGINE"):
+            raise RuntimeError(
+                f"SVSCOPE_FUSED_ENGINE={engine!r} cannot run: batch {b} "
+                f"does not divide mesh({n})*8; refusing to silently "
+                "measure the 'xla' engine instead")
+        log.info("fused build: %r engine needs batch %% (mesh*8) == 0 "
+                 "(batch %d, mesh %d); using 'xla' for this chunk",
+                 engine, b, n)
         engine = "xla"
     return _build_batch(*shard_batch((seqs_a, lens_a, nseq_a)),
                         ncap=ncap, r_max=r_max, l_max=l_max, engine=engine,

@@ -286,7 +286,7 @@ def _align_tb_kernel(
 
 
 def _fusion_kernel(
-        an_ref, as_ref, ke_ref, order_ref, gminr_ref, seqs_ref,
+        an_ref, as_ref, ke_ref, gminr_ref, seqs_ref,
         nn_in, tctr_in, ovf_in, gs_in,
         nn_out, tctr_out, ovf_out, gs_out, path_ref,
         *, n_max: int, l_max: int, out_len: int):
@@ -406,7 +406,7 @@ def _fusion_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("ncap", "n_max", "l_max", "interpret"))
-def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
+def fused_round_call(charsr, sinksr, predsr, chain, chainw, gminr,
                      seqv, seqs5, lb, nn_eff, nn, tctr, ovf, gs, *,
                      ncap: int, n_max: int, l_max: int,
                      interpret: bool = False):
@@ -476,7 +476,6 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
             bs((W, out_len), lambda i: (i, 0), memory_space=vm),  # an
             bs((W, out_len), lambda i: (i, 0), memory_space=vm),  # asx
             bs((W, 1), lambda i: (i, 0), memory_space=sm),        # k_end
-            bs((W, n_max), lambda i: (i, 0), memory_space=sm),    # order
             bs((W, n_max), lambda i: (i, 0), memory_space=sm),    # gminr
             bs((W, l_max), lambda i: (i, 0), memory_space=sm),    # seqs5
             bs((W, 1), lambda i: (i, 0), memory_space=sm),        # nn
@@ -503,4 +502,4 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, order, gminr,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(an, asx, ke, order, gminr, seqs5, nn, tctr, ovf, gs)
+    )(an, asx, ke, gminr, seqs5, nn, tctr, ovf, gs)

@@ -7,18 +7,35 @@ The round-3 harness (tools/chrom_bench.py) was recall-only on a clean
 for (/root/reference/src/SVscope.py:241-339): rejecting windows that LOOK
 somatic to the EM but are germline events or alignment artifacts.
 
-Planted classes per chromosome:
-  som    somatic INS/DEL: SV in a subset of tumor reads only  -> TRUTH
-  germ   germline INS/DEL: SV in ALL tumor AND normal reads   -> decoy
-  noise  mapping-artifact: tumor-only low-mapQ pileup with random
-         scattered clips and coverage spike, no consistent SV -> decoy
+Planted classes (SLOT_CLASSES / CLASSES_DOC): four truth tiers (som,
+som3 minimum-support boundary, som45 size-threshold boundary, sompair
+adjacent subclonal events) and five decoy tiers, each engineered to die
+at a specific pipeline stage:
+
+  germ       selection-tier (normal length evidence)
+  noise      selection-tier (low-mapQ artifact pileup)
+  germ_comp  EM-tier: length-compensated germline ALT passes the
+             selection length test; the EM co-clusters tumor+normal ALT
+             carriers and the tumor-only rule rejects
+  germ_gate  engine-gate tier: normal spans only at mapQ<5 (visible to
+             selection's mapQ>=0 count, invisible to the engine's
+             mapQ>=5 fetch)
+  rf_trap    RF-tier: a consistent tumor-only INS inside an artifact
+             context (coverage spike, low-mapQ pileup, cross-chromosome
+             alignments) — EMOutput is emitted; only the RF removes it
+
+Round-5 verdict task 2: the round-4 harness's decoys all died before the
+engine, making the 1.000/1.000 a selection test; these classes produce
+more candidate windows than truth spans and exercise the EM tumor-only
+rule, the decision gates and the RF filter on live candidates.
 
 Reads carry ONT-like noise: ~2% substitutions plus 1-3 bp indels at ~1%
 (cigar-visible, below the 40 bp breakpoint threshold of
 src/WindowSelection_v8.py:92 semantics).
 
 Reported: candidate-window counts, Raw.bed-level and post-RF VCF-level
-precision/recall vs the planted somatic truth, and per-stage wall time.
+precision/recall vs the planted somatic truth, per-class per-tier
+confusion counts, and per-stage wall time.
 
 Usage: python tools/genome_bench.py [--mb-per-chrom 5] [--chroms 4]
        (defaults = the >= 20 Mb BASELINE.md configuration)
@@ -46,7 +63,9 @@ def ont_read(rng, ref, name, a0, a1, sv=None, mapq: int = 60,
              ref_id: int = 0, sub=0.02, indel=0.01):
     """BamRecord over ref[a0:a1) with ONT-like noise: substitutions stay
     inside M ops; 1-3 bp insertions/deletions get their own cigar ops; an
-    optional ("INS", pos, seq) / ("DEL", pos, len) SV is emitted exactly."""
+    optional ("INS", pos, seq) / ("DEL", pos, len) SV — or a list of such
+    svs sorted by position (multi-part signatures, e.g. the germ_comp
+    length-compensated decoy) — is emitted exactly."""
     from svscope_tpu.io.bam import BamRecord, parse_cigar_string
     if sv is None and indel == 0:
         # fast path for the ~10^5 background reads: vectorized subs, xM
@@ -57,7 +76,9 @@ def ont_read(rng, ref, name, a0, a1, sv=None, mapq: int = 60,
         ops, lens = parse_cigar_string(f"{arr.size}M")
         return BamRecord(name, 0, ref_id, a0, mapq, ops, lens,
                          arr.tobytes().decode())
-    sv_pos = sv[1] if sv else None
+    svs = list(sv) if sv and isinstance(sv[0], (tuple, list)) else \
+        ([sv] if sv else [])
+    svs.sort(key=lambda s: s[1])
     seq_parts = []
     cig = []
 
@@ -71,16 +92,16 @@ def ont_read(rng, ref, name, a0, a1, sv=None, mapq: int = 60,
 
     p = a0
     while p < a1:
-        if sv is not None and p == sv_pos:
-            if sv[0] == "INS":
-                seq_parts.append(sv[2])
-                emit("I", len(sv[2]))
+        if svs and p >= svs[0][1]:
+            s0 = svs.pop(0)
+            if s0[0] == "INS":
+                seq_parts.append(s0[2])
+                emit("I", len(s0[2]))
             else:
-                dl = min(sv[2], a1 - p - 1)
+                dl = min(s0[2], a1 - p - 1)
                 emit("D", dl)
                 p += dl
                 continue
-            sv = None
         r = rng.random()
         if r < indel / 2 and a0 < p < a1 - 2:          # small insertion
             ln = int(rng.integers(1, 4))
@@ -116,6 +137,40 @@ def clip_read(rng, ref, name, pos, mapq, ref_id):
     return BamRecord(name, 0, ref_id, pos, mapq, ops, lens, seq)
 
 
+# per-chromosome slot layout: 16 planted loci cycling through the class
+# matrix.  Truth classes (som + the boundary tiers) and decoy classes
+# (each engineered to die at a specific pipeline tier — see CLASSES_DOC).
+SLOT_CLASSES = ("som", "som", "germ", "noise",
+                "som3", "som45", "sompair", "rf_trap",
+                "som", "germ_comp", "germ_gate", "noise",
+                "som", "som45", "germ_comp", "rf_trap")
+TRUTH_CLASSES = ("som", "som3", "som45", "sompair")
+DECOY_CLASSES = ("germ", "noise", "germ_comp", "germ_gate", "rf_trap")
+CLASSES_DOC = {
+    # class: (is truth, tier expected to reject it)
+    "som":       "truth: 6/12 tumor reads carry a 60-200 bp INS/DEL",
+    "som3":      "truth boundary: exactly 4 carriers — selection's >3-read"
+                 " bp-merge threshold; EM's somatic-cluster minimum is 3",
+    "som45":     "truth boundary: svlen 42-58 (40 bp selection threshold /"
+                 " 50 bp VCF INS type threshold)",
+    "sompair":   "truth: two adjacent subclonal INS ~200 bp apart, merged"
+                 " into one window — EM must resolve two tumor clusters",
+    "germ":      "decoy, selection-tier: SV in all tumor AND normal reads",
+    "noise":     "decoy, selection-tier: tumor-only low-mapQ pileup+clips",
+    "germ_comp": "decoy, EM-tier: germline ALT in both samples, normal ALT"
+                 " length-compensated by scattered <40 bp deletions —"
+                 " passes the selection length test, EM co-clusters the"
+                 " carriers (mixed tags) and the tumor-only rule rejects",
+    "germ_gate": "decoy, engine-gate tier: normal spans only at mapQ<5"
+                 " (selection counts mapQ>=0, engine needs >=5) — passes"
+                 " selection, engine normal-tag gate rejects",
+    "rf_trap":   "decoy, RF-tier: consistent tumor-only INS inside an"
+                 " artifact context (coverage spike, low-mapQ pileup,"
+                 " cross-chromosome alignments) — EM accepts, the RF's"
+                 " whole-genome alignment features reject",
+}
+
+
 def build_genome(d, n_chroms, mb, depth, rng):
     from svscope_tpu.io.bam import BamWriter
     from svscope_tpu.io.fasta import write_fasta
@@ -124,7 +179,7 @@ def build_genome(d, n_chroms, mb, depth, rng):
     refs = {nm: rand_seq(rng, clen) for nm in names}
     ref_path = os.path.join(d, "ref.fa")
     write_fasta(ref_path, refs)
-    truth, germline, artifacts = [], [], []
+    classes: dict[str, list] = {c: [] for c in SLOT_CLASSES}
     t_recs, n_recs = [], []
     per_chrom = 16
     for ci, nm in enumerate(names):
@@ -134,13 +189,26 @@ def build_genome(d, n_chroms, mb, depth, rng):
             s = (k + 1) * step + int(rng.integers(-step // 8, step // 8))
             e = s + 100
             mid = (s + e) // 2
-            svlen = int(rng.integers(60, 200))
             svtype = "INS" if k % 2 == 0 else "DEL"
+            cls = SLOT_CLASSES[k]
+            if cls == "som45":
+                svlen = int(rng.integers(42, 59))
+            elif cls == "germ_comp":
+                # 48 bp of sub-40 bp compensation near the bp site keeps
+                # normal ALT within +40 of tumor ALT for the length test
+                svlen = int(rng.integers(66, 81))
+            else:
+                svlen = int(rng.integers(60, 200))
             ins = rand_seq(rng, svlen)
-            cls = ("som", "som", "germ", "noise")[k % 4]
+            classes[cls].append((nm, s, e, svtype, svlen))
+
+            def jsv(jrng=rng, stype=svtype, slen=svlen, iseq=ins):
+                jm = mid + int(jrng.integers(-15, 16))
+                return ("INS", jm, iseq) if stype == "INS" else \
+                    ("DEL", jm - slen // 2, slen)
+
             if cls == "noise":
                 # mapping-artifact: tumor-only low-mapQ pileup + clips
-                artifacts.append((nm, s, e))
                 for i in range(depth):
                     mq = 3 if i % 2 else 60
                     t_recs.append(ont_read(rng, ref, f"{nm}ar{k}t{i}",
@@ -152,33 +220,114 @@ def build_genome(d, n_chroms, mb, depth, rng):
                 for i in range(depth):
                     n_recs.append(ont_read(rng, ref, f"{nm}ar{k}n{i}",
                                            s - 350, e + 350, None, 60, ci))
-                continue
-            m = mid + int(rng.integers(-15, 16))
-            sv = ("INS", m, ins) if svtype == "INS" else \
-                ("DEL", m - svlen // 2, svlen)
-            if cls == "som":
-                truth.append((nm, s, e, svtype, svlen))
+            elif cls in ("som", "som3", "som45"):
+                carriers = 4 if cls == "som3" else 6
                 for i in range(depth):
-                    r_sv = sv if i < 6 else None
-                    jm = mid + int(rng.integers(-15, 16))
-                    r_sv = (("INS", jm, ins) if svtype == "INS" else
-                            ("DEL", jm - svlen // 2, svlen)) \
-                        if r_sv else None
+                    r_sv = jsv() if i < carriers else None
                     t_recs.append(ont_read(rng, ref, f"{nm}s{k}t{i}",
                                            s - 350, e + 350, r_sv, 60, ci))
                 for i in range(depth):
                     n_recs.append(ont_read(rng, ref, f"{nm}s{k}n{i}",
                                            s - 350, e + 350, None, 60, ci))
-            else:                               # germline: SV in both
-                germline.append((nm, s, e, svtype, svlen))
+            elif cls == "sompair":
+                # two subclonal INS ~200 bp apart (merge -d 200 joins them)
+                ins_b = rand_seq(rng, max(60, svlen))
+                m1, m2 = mid - 100, mid + 100
+                for i in range(depth):
+                    if i < 4:
+                        r_sv = ("INS", m1 + int(rng.integers(-10, 11)), ins)
+                    elif i < 8:
+                        r_sv = ("INS", m2 + int(rng.integers(-10, 11)),
+                                ins_b)
+                    else:
+                        r_sv = None
+                    t_recs.append(ont_read(rng, ref, f"{nm}p{k}t{i}",
+                                           s - 350, e + 350, r_sv, 60, ci))
+                for i in range(depth):
+                    n_recs.append(ont_read(rng, ref, f"{nm}p{k}n{i}",
+                                           s - 350, e + 350, None, 60, ci))
+            elif cls == "germ":
+                # classic germline: SV in all tumor AND normal reads
+                for i in range(depth):
+                    t_recs.append(ont_read(rng, ref, f"{nm}g{k}t{i}",
+                                           s - 350, e + 350, jsv(), 60, ci))
+                    n_recs.append(ont_read(rng, ref, f"{nm}g{k}n{i}",
+                                           s - 350, e + 350, jsv(), 60, ci))
+            elif cls == "germ_comp":
+                # germline ALT in both; normal ALT carriers compensate the
+                # INS with 20 shared scattered 3 bp deletions (each far
+                # below the 40 bp breakpoint threshold) so their spanning
+                # length matches REF reads — selection's length test sees
+                # tumor-only evidence, the EM sees the shared ALT columns
+                ins60 = ins if svtype == "INS" else rand_seq(rng, svlen)
+                # The candidate window is a tight bp-cluster around the
+                # INS site (~25 bp + 50 bp flanks), so compensation must
+                # hug the site to land inside the selection Length
+                # segment.  48 bp (6 x 8 bp deletions, each far below the
+                # 40 bp breakpoint threshold, 9 bp spacing so cigar D ops
+                # never coalesce) keeps normal ALT within +40 of tumor
+                # ALT — selection's "tumor > all normal + 40" test then
+                # sees tumor-only evidence while the EM sees the shared
+                # ALT columns in both samples.
+                comp = [("DEL", int(p), 8)
+                        for p in (mid - 45, mid - 36, mid - 27,
+                                  mid + 22, mid + 31, mid + 40)]
                 for i in range(depth):
                     jm = mid + int(rng.integers(-15, 16))
-                    r_sv = ("INS", jm, ins) if svtype == "INS" else \
-                        ("DEL", jm - svlen // 2, svlen)
-                    t_recs.append(ont_read(rng, ref, f"{nm}g{k}t{i}",
+                    alt = ("INS", jm, ins60)
+                    if i < 6:
+                        t_recs.append(ont_read(rng, ref, f"{nm}c{k}t{i}",
+                                               s - 350, e + 350, alt, 60,
+                                               ci))
+                    else:
+                        t_recs.append(ont_read(rng, ref, f"{nm}c{k}t{i}",
+                                               s - 350, e + 350, None, 60,
+                                               ci))
+                    if i < 4:
+                        n_recs.append(ont_read(
+                            rng, ref, f"{nm}c{k}n{i}", s - 350, e + 350,
+                            comp + [alt], 60, ci))
+                    else:
+                        n_recs.append(ont_read(rng, ref, f"{nm}c{k}n{i}",
+                                               s - 350, e + 350, None, 60,
+                                               ci))
+            elif cls == "germ_gate":
+                # germline where the normal sample spans only via mapQ<5
+                # REF reads (fragmented ALT): selection's normal count
+                # (mapQ>=0) passes, the engine's mapQ>=5 fetch sees no
+                # spanning normal -> decision gate rejects
+                for i in range(depth):
+                    r_sv = jsv() if i < 6 else None
+                    t_recs.append(ont_read(rng, ref, f"{nm}q{k}t{i}",
                                            s - 350, e + 350, r_sv, 60, ci))
-                    n_recs.append(ont_read(rng, ref, f"{nm}g{k}n{i}",
+                for i in range(depth // 2):
+                    n_recs.append(ont_read(rng, ref, f"{nm}q{k}n{i}",
+                                           s - 350, e + 350, None, 3, ci))
+                for i in range(depth // 2):     # fragmented ALT halves
+                    n_recs.append(ont_read(rng, ref, f"{nm}qf{k}a{i}",
+                                           s - 350, mid, None, 60, ci))
+                    n_recs.append(ont_read(rng, ref, f"{nm}qf{k}b{i}",
+                                           mid + 1, e + 350, None, 60, ci))
+            elif cls == "rf_trap":
+                # consistent tumor-only INS in a mapping-artifact context:
+                # EM legitimately phases it, the RF's whole-genome features
+                # (COV z, mapQ rate, chromSpan) must reject it
+                other = names[(ci + 1) % n_chroms]
+                for i in range(depth):
+                    r_sv = jsv(stype="INS", iseq=ins) if i < 6 else None
+                    t_recs.append(ont_read(rng, ref, f"{nm}f{k}t{i}",
                                            s - 350, e + 350, r_sv, 60, ci))
+                    if i < 8:   # cross-chromosome secondary alignments
+                        opos = (s + 777) % (clen - 2000)
+                        t_recs.append(ont_read(
+                            rng, refs[other], f"{nm}f{k}t{i}", opos,
+                            opos + 1200, None, 60, (ci + 1) % n_chroms))
+                for i in range(2 * depth):      # low-mapQ coverage spike
+                    t_recs.append(ont_read(rng, ref, f"{nm}fx{k}t{i}",
+                                           s - 350, e + 350, None, 3, ci))
+                for i in range(depth):
+                    n_recs.append(ont_read(rng, ref, f"{nm}f{k}n{i}",
+                                           s - 350, e + 350, None, 60, ci))
         # background coverage at ~window depth so candidate-window COV
         # z-scores stay in the RF's trained range (a 1x background made
         # every window a 28-sigma coverage outlier the RF rejected)
@@ -187,8 +336,8 @@ def build_genome(d, n_chroms, mb, depth, rng):
         # planted windows already carry `depth` local reads; drop
         # background reads overlapping them so their coverage stays at
         # the genome average (the RF is coverage-z-score sensitive)
-        spans = np.array([(t[1], t[2]) for t in truth + germline
-                          + artifacts if t[0] == nm]
+        spans = np.array([(t[1], t[2]) for cl in classes.values()
+                          for t in cl if t[0] == nm]
                          or [(0, 0)], np.int64)
         for sample, recs, tag in ((0, t_recs, "bt"), (1, n_recs, "bn")):
             starts = rng.integers(0, clen - rl_lo, n_bg)
@@ -211,7 +360,7 @@ def build_genome(d, n_chroms, mb, depth, rng):
     with BamWriter(normal, names, lens) as w:
         for r in sorted(n_recs, key=lambda r: (r.ref_id, r.pos)):
             w.write(r)
-    return ref_path, tumor, normal, truth, germline, artifacts
+    return ref_path, tumor, normal, classes
 
 
 def overlaps(calls, span):
@@ -232,13 +381,17 @@ def main():
     stages = {}
 
     t0 = time.time()
-    ref_path, tumor, normal, truth, germ, arts = build_genome(
+    ref_path, tumor, normal, classes = build_genome(
         d, args.chroms, args.mb_per_chrom, args.depth, rng)
+    truth = [t for c in TRUTH_CLASSES for t in classes[c]]
+    decoys = [t for c in DECOY_CLASSES for t in classes[c]]
     stages["synth"] = time.time() - t0
     gb = args.chroms * args.mb_per_chrom
     print(f"[synth] {stages['synth']:.1f}s  {args.chroms} chroms x "
-          f"{args.mb_per_chrom:.0f} Mb = {gb:.0f} Mb; {len(truth)} somatic "
-          f"truth, {len(germ)} germline decoys, {len(arts)} artifact decoys")
+          f"{args.mb_per_chrom:.0f} Mb = {gb:.0f} Mb; {len(truth)} truth "
+          "(" + ", ".join(f"{c} {len(classes[c])}" for c in TRUTH_CLASSES)
+          + f"); {len(decoys)} decoys ("
+          + ", ".join(f"{c} {len(classes[c])}" for c in DECOY_CLASSES) + ")")
 
     from svscope_tpu.native.bam import scan_with_breakpoints
     from svscope_tpu.select.windows import find_candidate_sv_windows
@@ -291,23 +444,38 @@ def main():
     print(f"[AlnFeature] {stages['AlnFeature']:.1f}s  {len(vcf_calls)} "
           f"VCF records")
 
+    cand_spans = [(w.split("\t")[0], int(w.split("\t")[1]),
+                   int(w.split("\t")[2])) for w in windows]
+
     def pr(calls, label):
         tp = sum(1 for t in truth if overlaps(calls, t))
-        germ_fp = sum(1 for g in germ if overlaps(calls, g))
-        art_fp = sum(1 for a in arts if overlaps(calls, a))
         fp = sum(1 for c in calls
                  if not overlaps([(t[0], t[1], t[2]) for t in truth],
                                  (c[0], c[1], c[2])))
         prec = (len(calls) - fp) / len(calls) if calls else 1.0
         rec = tp / len(truth) if truth else 1.0
+        decoy_fp = sum(1 for g in decoys if overlaps(calls, g))
         print(f"[{label}] precision {prec:.3f} ({len(calls) - fp}/"
               f"{len(calls)} calls on truth), recall {rec:.3f} "
-              f"({tp}/{len(truth)}), decoys called: germline "
-              f"{germ_fp}/{len(germ)}, artifact {art_fp}/{len(arts)}")
+              f"({tp}/{len(truth)}), decoys called {decoy_fp}/{len(decoys)}")
         return prec, rec
 
     pr(som_calls, "Raw.bed")
     pr(vcf_calls, "mergedVCF")
+    # per-class, per-tier confusion: how far does each planted class
+    # survive?  candidate (selection) -> Raw.bed EMOutput -> final VCF.
+    # Decoy classes must die at their engineered tier (CLASSES_DOC);
+    # rf_trap in particular must reach Raw.bed and die ONLY at the RF.
+    print("[tiers] class           n  candidate  Raw.bed  VCF   expected")
+    for c in TRUTH_CLASSES + DECOY_CLASSES:
+        members = classes[c]
+        n_cand = sum(1 for m in members if overlaps(cand_spans, m))
+        n_raw = sum(1 for m in members if overlaps(som_calls, m))
+        n_vcf = sum(1 for m in members if overlaps(vcf_calls, m))
+        want = ("call" if c in TRUTH_CLASSES else
+                CLASSES_DOC[c].split(":")[0].split(", ")[-1])
+        print(f"[tiers] {c:12s} {len(members):4d} {n_cand:9d} {n_raw:8d} "
+              f"{n_vcf:4d}   {want}")
     print("[stage-walls] " + " ".join(f"{k}={v:.1f}s"
                                       for k, v in stages.items()))
     print(f"[dir] {d}")
