@@ -434,6 +434,70 @@ def _build_batch_impl(seqs, lens, n_seqs, ncap: int, r_max: int,
             fwd_buf, fwd_cnt, overflow)
 
 
+def _pk_round_prep(gs, nn, seq, slen, ncap: int, l_max: int):
+    """XLA glue of one pk round: graph state -> the operand tuple of
+    fused_round_call's two kernels (canonical group-Kahn re-rank +
+    rank-space gathers + chain flags + query staging).  Factored out of
+    the round loop so tools/probe/pk_phase_probe can record real per-
+    round operands and replay each kernel phase in isolation.
+
+    Returns ((chars_r, sink_r, pred_packed, chain_all, chainw32, gminr,
+    seqv, lb, nn_eff), cyclic)."""
+    from .poa_fused_kernel import L_CH, L_GM, L_PN
+    B = gs.shape[0]
+    P = MAX_PREDS
+    n16 = -(-ncap // 16)
+    sortv = jax.vmap(lambda p, g, n: _toposort(p, g, n, ncap))
+    take = jax.vmap(lambda a, o: a[o])
+    pred = gs[..., L_PN:L_PN + P]
+    order, rank, cyclic = sortv(pred, gs[..., L_GM], nn[:, 0])
+    rank_of = jax.vmap(
+        lambda rk, p: jnp.where(p >= 0, rk[jnp.clip(p, 0, ncap - 1)],
+                                -1))(rank, pred)      # id->rank per slot
+    chars_r = take(gs[..., L_CH], order)
+    preds_r = take(rank_of, order)
+    gminr = take(gs[..., L_GM], order)
+    # sinks from out-degrees (XLA segment sum; the kernel no longer
+    # tracks out-degree — one less RMW per fused entry)
+    ids = jnp.arange(ncap, dtype=jnp.int32)
+
+    def outdeg_of(pred_b, nn_b):
+        vals = ((pred_b >= 0)
+                & (ids[:, None] < nn_b)).astype(jnp.int32).ravel()
+        return jax.ops.segment_sum(
+            vals, jnp.clip(pred_b, 0, ncap - 1).ravel(),
+            num_segments=ncap)
+    outdeg = jax.vmap(outdeg_of)(pred, nn[:, 0])
+    sink_r = take((outdeg == 0).astype(jnp.int32), order)
+    nn_eff = jnp.where(slen > 0, nn[:, 0], 0)
+    ri = jnp.arange(ncap, dtype=jnp.int32)[None, :]
+    single = preds_r[:, :, 1] < 0
+    first_prev = preds_r[:, :, 0] == ri - 1
+    root0 = (ri == 0) & (preds_r[:, :, 0] < 0)
+    inactive = ri >= nn_eff[:, None]
+    chainw = (single & (first_prev | root0)) | inactive
+    chain_all = (chainw.reshape(B // 8, 8, ncap).all(axis=1)
+                 .astype(jnp.int32).reshape(B // 8, 1, ncap))
+    chainw32 = chainw.astype(jnp.int32)
+    if _ABLATE_PK_DPC:
+        # probe: force every row down the cheap chain path
+        chain_all = jnp.ones_like(chain_all)
+        chainw32 = jnp.ones_like(chainw32)
+    # pad slots duplicate slot 0 (unconditional branch-row gathers),
+    # then pack 16 rank-rows per 128-lane row (a pure reshape)
+    predsp = jnp.where(preds_r < 0, preds_r[:, :, :1], preds_r)
+    pad_rows = n16 * 16 - ncap
+    if pad_rows:
+        predsp = jnp.concatenate(
+            [predsp, jnp.full((B, pad_rows, P), -1, jnp.int32)],
+            axis=1)
+    pred_packed = predsp.reshape(B, n16, 16 * P)
+    seqv = jnp.full((B, l_max + 1), 255, jnp.int32)
+    seqv = seqv.at[:, 1:].set(seq)
+    return (chars_r, sink_r, pred_packed, chain_all, chainw32, gminr,
+            seqv, slen.reshape(B, 1), nn_eff.reshape(B, 1)), cyclic
+
+
 def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
                          l_max: int, interpret: bool):
     """Round loop for the 'pk' engine: alignment + traceback + FUSION all
@@ -446,63 +510,19 @@ def _build_batch_impl_pk(seqs, lens, n_seqs, ncap: int, r_max: int,
                                    L_PT, L_PW, fused_round_call)
     B = seqs.shape[0]
     P = MAX_PREDS
-    n16 = -(-ncap // 16)
     sortv = jax.vmap(lambda p, g, n: _toposort(p, g, n, ncap))
-    take = jax.vmap(lambda a, o: a[o])
 
     def round_body(r, st):
         nn, tctr, ovf, gs, path = st
         seq = seqs[:, r].astype(jnp.int32)            # (B, l_max)
         slen = lens[:, r].astype(jnp.int32)
-        pred = gs[..., L_PN:L_PN + P]
-        order, rank, cyclic = sortv(pred, gs[..., L_GM], nn[:, 0])
-        rank_of = jax.vmap(
-            lambda rk, p: jnp.where(p >= 0, rk[jnp.clip(p, 0, ncap - 1)],
-                                    -1))(rank, pred)  # id->rank per slot
-        chars_r = take(gs[..., L_CH], order)
-        preds_r = take(rank_of, order)
-        gminr = take(gs[..., L_GM], order)
-        # sinks from out-degrees (XLA segment sum; the kernel no longer
-        # tracks out-degree — one less RMW per fused entry)
-        ids = jnp.arange(ncap, dtype=jnp.int32)
-
-        def outdeg_of(pred_b, nn_b):
-            vals = ((pred_b >= 0)
-                    & (ids[:, None] < nn_b)).astype(jnp.int32).ravel()
-            return jax.ops.segment_sum(
-                vals, jnp.clip(pred_b, 0, ncap - 1).ravel(),
-                num_segments=ncap)
-        outdeg = jax.vmap(outdeg_of)(pred, nn[:, 0])
-        sink_r = take((outdeg == 0).astype(jnp.int32), order)
-        nn_eff = jnp.where(slen > 0, nn[:, 0], 0)
-        ri = jnp.arange(ncap, dtype=jnp.int32)[None, :]
-        single = preds_r[:, :, 1] < 0
-        first_prev = preds_r[:, :, 0] == ri - 1
-        root0 = (ri == 0) & (preds_r[:, :, 0] < 0)
-        inactive = ri >= nn_eff[:, None]
-        chainw = (single & (first_prev | root0)) | inactive
-        chain_all = (chainw.reshape(B // 8, 8, ncap).all(axis=1)
-                     .astype(jnp.int32).reshape(B // 8, 1, ncap))
-        chainw32 = chainw.astype(jnp.int32)
-        if _ABLATE_PK_DPC:
-            # probe: force every row down the cheap chain path
-            chain_all = jnp.ones_like(chain_all)
-            chainw32 = jnp.ones_like(chainw32)
-        # pad slots duplicate slot 0 (unconditional branch-row gathers),
-        # then pack 16 rank-rows per 128-lane row (a pure reshape)
-        predsp = jnp.where(preds_r < 0, preds_r[:, :, :1], preds_r)
-        pad_rows = n16 * 16 - ncap
-        if pad_rows:
-            predsp = jnp.concatenate(
-                [predsp, jnp.full((B, pad_rows, P), -1, jnp.int32)],
-                axis=1)
-        pred_packed = predsp.reshape(B, n16, 16 * P)
-        seqv = jnp.full((B, l_max + 1), 255, jnp.int32)
-        seqv = seqv.at[:, 1:].set(seq)
+        ops, cyclic = _pk_round_prep(gs, nn, seq, slen, ncap, l_max)
+        (chars_r, sink_r, pred_packed, chain_all, chainw32, gminr, seqv,
+         lb, nn_eff) = ops
         ovf = ovf | cyclic.astype(jnp.int32).reshape(B, 1)
         nn, tctr, ovf, gs, path_round = fused_round_call(
             chars_r, sink_r, pred_packed, chain_all, chainw32,
-            gminr, seqv, seq, slen.reshape(B, 1), nn_eff.reshape(B, 1),
+            gminr, seqv, seq, lb, nn_eff,
             nn, tctr, ovf, gs, ncap=ncap, n_max=ncap, l_max=l_max,
             interpret=interpret)
         path = path.at[:, r].set(path_round)

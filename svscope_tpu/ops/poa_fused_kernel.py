@@ -67,6 +67,13 @@ GAP = -8
 NEG = np.int32(-(2 ** 29))
 W = 8
 MAX_PREDS = 8
+# fusion-loop unroll (entries per while iteration).  The round-5 phase
+# probe (tools/probe/pk_phase_probe + fusebody_probe) measured the
+# while-loop's FIXED cost at ~0.8 us/iteration vs ~0.55 us of real body
+# work — the loop tax, not VMEM traffic, dominates, so unrolling pays
+# almost linearly until the tax is amortized.  Env knob for probes.
+import os as _os
+FUSE_UNROLL = int(_os.environ.get("SVSCOPE_PK_UNROLL", "8"))
 ALPHA5 = 5
 GS_LANES = 128
 # gs lane-field offsets
@@ -389,7 +396,7 @@ def _fusion_kernel(
             return k + 1, prev, nn_c, tc, ovf, path_w
 
         def fuse_body4(st):
-            for _ in range(4):           # loop-tax unroll (see module doc)
+            for _ in range(FUSE_UNROLL):  # loop-tax unroll (see module doc)
                 st = fuse_body(st)
             return st
 
@@ -403,38 +410,31 @@ def _fusion_kernel(
         ovf_out[w, 0] = ovf_f.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ncap", "n_max", "l_max", "interpret"))
-def fused_round_call(charsr, sinksr, predsr, chain, chainw, gminr,
-                     seqv, seqs5, lb, nn_eff, nn, tctr, ovf, gs, *,
-                     ncap: int, n_max: int, l_max: int,
-                     interpret: bool = False):
-    """One fused round over a (B, ...) batch; B must be a multiple of 8.
-
-    TWO pallas_calls per round — align+traceback, then fusion (split
-    during the §8-§9 bottleneck hunt; kept for independent profiling and
-    faster compiles — the wall itself was the XLA canonical sort, fixed
-    in ops/poa_fused._toposort, docs/PERF.md §9).
-
-    gs: (B, ncap, 128) lane-structured graph state (see module doc).
-    predsr: (B, ceil(n_max/16), 128) packed rank-space pred table.
-    gminr: (B, n_max) pre-round group ids in RANK space (fusion's match
-    lookup; never rewritten for existing nodes, so SMEM-safe).
-    Returns (nn, tctr, ovf, gs, path) with path (B, l_max)."""
-    B = charsr.shape[0]
+def _pk_out_len(n_max: int, l_max: int) -> int:
     # max path entries = (n_max - 1 active nodes) + l_max bases; for the
     # production bucket that is 1024 + 512 = 12 x 128 exactly — the +1 of
     # the naive n_max + l_max would drag a 13th tail vreg through every
     # masked alignment-value extract in the fusion loop
-    out_len = n_max - 1 + l_max
+    return n_max - 1 + l_max
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_max", "l_max", "interpret"))
+def align_tb_call(charsr, sinksr, predsr, chain, chainw, seqv, lb, nn_eff,
+                  *, n_max: int, l_max: int, interpret: bool = False):
+    """Round kernel A alone: DP wavefront + W-joint traceback.
+    Returns (an, asx, ke).  Separately callable for phase profiling
+    (tools/probe/pk_phase_probe) and composed by fused_round_call."""
+    B = charsr.shape[0]
+    out_len = _pk_out_len(n_max, l_max)
     l1 = l_max + 1
     n16 = predsr.shape[1]
     grid = (B // W,)
     sm = pltpu.SMEM
     vm = pltpu.VMEM
     bs = pl.BlockSpec
-    an, asx, ke = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_align_tb_kernel, n_max=n_max, l_max=l_max,
                           out_len=out_len),
         grid=grid,
@@ -468,6 +468,22 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, gminr,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(charsr, sinksr, predsr, chain, chainw, seqv, lb, nn_eff)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ncap", "n_max", "l_max", "interpret"))
+def fusion_call(an, asx, ke, gminr, seqs5, nn, tctr, ovf, gs, *,
+                ncap: int, n_max: int, l_max: int,
+                interpret: bool = False):
+    """Round kernel B alone: sequential per-window graph fusion over a
+    computed alignment.  Returns (nn, tctr, ovf, gs, path)."""
+    B = an.shape[0]
+    out_len = _pk_out_len(n_max, l_max)
+    grid = (B // W,)
+    sm = pltpu.SMEM
+    vm = pltpu.VMEM
+    bs = pl.BlockSpec
     return pl.pallas_call(
         functools.partial(_fusion_kernel, n_max=n_max, l_max=l_max,
                           out_len=out_len),
@@ -503,3 +519,31 @@ def fused_round_call(charsr, sinksr, predsr, chain, chainw, gminr,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(an, asx, ke, gminr, seqs5, nn, tctr, ovf, gs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ncap", "n_max", "l_max", "interpret"))
+def fused_round_call(charsr, sinksr, predsr, chain, chainw, gminr,
+                     seqv, seqs5, lb, nn_eff, nn, tctr, ovf, gs, *,
+                     ncap: int, n_max: int, l_max: int,
+                     interpret: bool = False):
+    """One fused round over a (B, ...) batch; B must be a multiple of 8.
+
+    TWO pallas_calls per round — align+traceback (align_tb_call), then
+    fusion (fusion_call); split during the §8-§9 bottleneck hunt and kept
+    as separately callable phases for profiling (docs/PERF.md §10) and
+    faster compiles — the round-4 wall itself was the XLA canonical sort,
+    fixed in ops/poa_fused._toposort, docs/PERF.md §9.
+
+    gs: (B, ncap, 128) lane-structured graph state (see module doc).
+    predsr: (B, ceil(n_max/16), 128) packed rank-space pred table.
+    gminr: (B, n_max) pre-round group ids in RANK space (fusion's match
+    lookup; never rewritten for existing nodes, so SMEM-safe).
+    Returns (nn, tctr, ovf, gs, path) with path (B, l_max)."""
+    an, asx, ke = align_tb_call(charsr, sinksr, predsr, chain, chainw,
+                                seqv, lb, nn_eff, n_max=n_max,
+                                l_max=l_max, interpret=interpret)
+    return fusion_call(an, asx, ke, gminr, seqs5, nn, tctr, ovf, gs,
+                       ncap=ncap, n_max=n_max, l_max=l_max,
+                       interpret=interpret)

@@ -61,9 +61,37 @@ NEG16 = np.int16(-20000)   # int16 sentinel; legit scores are bounded by
 MAX_PREDS = 8
 
 
+# int16 lowering shims (round-5 verdict task 5).  Three distinct Mosaic/
+# v5e limitations block the naive int16 kernel, each with a value-exact
+# workaround:
+#   1. "Rotate with non-32-bit data": widen to int32 ONLY for the rotate.
+#   2. "Invalid relayout ... i1": masks must be BORN in the payload's
+#      layout — int16 selects need masks from int16-typed comparisons.
+#   3. "Target does not support this comparison": ordered int16 compares
+#      (<, <=) don't lower; int16 == and max DO, so a<=b is rewritten as
+#      max(a,b)==b (exact for integers).
+# int32 operands keep the native ops throughout.
+
+def _le(a, b):
+    """a <= b with int16-lowerable ops (max+eq) when operands are int16."""
+    if jnp.asarray(a).dtype == jnp.int16:
+        return jnp.maximum(a, b) == b
+    return a <= b
+
+
+def _ge(a, b):
+    if jnp.asarray(a).dtype == jnp.int16:
+        return jnp.maximum(a, b) == a
+    return a >= b
+
+
 def _roll_right(v, s, fill):
-    j = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    return jnp.where(j >= s, pltpu.roll(v, s, axis=1), fill)
+    j = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1).astype(v.dtype)
+    if v.dtype == jnp.int16:
+        r = pltpu.roll(v.astype(jnp.int32), s, axis=1).astype(jnp.int16)
+    else:
+        r = pltpu.roll(v, s, axis=1)
+    return jnp.where(_ge(j, jnp.asarray(s, v.dtype)), r, fill)
 
 
 def _prefix_max(v, neg=NEG):
@@ -93,15 +121,20 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                 neg=NEG):
     l1 = l_max + 1
     j = jax.lax.broadcasted_iota(jnp.int32, (wn, l1), 1)
-    j1 = j[0:1]                                       # (1, l1)
     lb_v = jnp.stack([lb_ref[k, 0] for k in range(wn)]).reshape(wn, 1)
     nn_v = jnp.stack([nn_ref[k, 0] for k in range(wn)]).reshape(wn, 1)
     nn_max = jnp.max(nn_v)
-    seq = seq_ref[:]                                  # (wn, l1), lane0 junk
     neg = jnp.asarray(neg, sdt)
-    decay = (GAP * j).astype(sdt)
+    # sdt-typed twins of the masks' operands: i1 vectors must be BORN in
+    # the payload layout (int16 relayout of an int32-born mask is
+    # unimplemented in current Mosaic); identity casts for int32
+    jm = j.astype(sdt)
+    lb_m = lb_v.astype(sdt)
+    nn_m = nn_v.astype(sdt)
+    seq = seq_ref[:].astype(sdt)                      # (wn, l1), lane0 junk
+    decay = (jnp.asarray(GAP, sdt) * jm)
 
-    h0 = jnp.where(j <= lb_v, decay, neg)
+    h0 = jnp.where(_le(jm, lb_m), decay, neg)
     h_s[0] = h0
 
     def preds_row(w, r):
@@ -127,22 +160,27 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         # per-row node char + sink flag: 2x8 scalar SMEM reads (the
         # previous (W, n_max) masked-sum formulation cost O(W*N) vector
         # work per row — O(W*N^2) over the kernel)
-        ch = jnp.stack([chars_ref[k, r] for k in range(wn)]).reshape(wn, 1)
+        ch = jnp.stack([chars_ref[k, r]
+                        for k in range(wn)]).reshape(wn, 1).astype(sdt)
         snk = jnp.stack([sinks_ref[k, r]
                          for k in range(wn)]).reshape(wn, 1)
         sub = jnp.where(seq == ch, jnp.asarray(MATCH, sdt),
                         jnp.asarray(MISMATCH, sdt))   # (wn, l1)
-        jvalid = (j >= 1) & (j <= lb_v)
-        node_ok = r < nn_v                            # (wn, 1)
+        jvalid = _ge(jm, jnp.asarray(1, sdt)) & _le(jm, lb_m)
+        node_ok = r < nn_v                            # (wn, 1), int32-born
+        # sdt-born twin; int16 0-d scalars cannot be materialized by
+        # Mosaic, so r is broadcast as an int32 ARRAY before the cast
+        node_ok_m = _le(jnp.full((wn, 1), r, jnp.int32).astype(sdt),
+                        nn_m - 1)
 
         def finish(mp):
             """(hrow, diag, up) from the max-plus predecessor row."""
             diag = jnp.where(jvalid, _roll_right(mp, 1, neg) + sub, neg)
             up = mp + jnp.asarray(GAP, sdt)
-            base = jnp.where(j == 0, up, jnp.maximum(diag, up))
-            base = jnp.where(j <= lb_v, base, neg)
+            base = jnp.where(jm == 0, up, jnp.maximum(diag, up))
+            base = jnp.where(_le(jm, lb_m), base, neg)
             H = _prefix_max(base - decay, neg) + decay
-            return jnp.where(node_ok, H, neg), diag, up
+            return jnp.where(node_ok_m, H, neg), diag, up
 
         # directions against the finished row: diag preds in order, then
         # graph-gap preds in order, then seq-gap (left) — the reference
@@ -176,8 +214,7 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
             for w in range(wn):
                 hw = hrow[w:w + 1, :]
                 subw = sub[w:w + 1, :]
-                lbw = lb_ref[w, 0]
-                jv = (j1 >= 1) & (j1 <= lbw)
+                jv = jvalid[w:w + 1, :]
                 # first-matching diag and up slots tracked separately,
                 # then merged by priority
                 d_diag = jnp.full((1, l1), -1, sdt)
@@ -188,8 +225,11 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
                     dok = (hw == _roll_right(v, 1, neg) + subw) & jv
                     d_up = jnp.where(uok, jnp.asarray(8 + p, sdt), d_up)
                     d_diag = jnp.where(dok, jnp.asarray(p, sdt), d_diag)
-                dirs.append(jnp.where(d_diag >= 0, d_diag,
-                                      jnp.where(d_up >= 0, d_up,
+                dirs.append(jnp.where(_ge(d_diag, jnp.asarray(0, sdt)),
+                                      d_diag,
+                                      jnp.where(_ge(d_up,
+                                                    jnp.asarray(0, sdt)),
+                                                d_up,
                                                 jnp.asarray(16, sdt))))
             return hrow, jnp.concatenate(dirs, axis=0)
 
@@ -209,8 +249,9 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         # best-sink tracking at column seq_len (strict > keeps the first
         # max — the XLA aligner's argmax tie-break in rank order)
         # Mosaic has no int16 reductions; the per-window end column is a
-        # scalar anyway — reduce in int32
-        endv = jnp.sum(jnp.where(j == lb_v, hrow, 0).astype(jnp.int32),
+        # scalar anyway — mask in sdt layout, then reduce in int32
+        endv = jnp.sum(jnp.where(jm == lb_m, hrow,
+                                 jnp.asarray(0, sdt)).astype(jnp.int32),
                        axis=1, keepdims=True, dtype=jnp.int32)
         better = (snk > 0) & node_ok & (endv > bval)
         bval = jnp.where(better, endv, bval)
@@ -243,8 +284,8 @@ def _poa_kernel(chars_ref, sinks_ref, preds_ref, seq_ref, lb_ref, nn_ref,
         rr = jnp.maximum(iv - 1, 0)                      # (W, 1)
         drows = jnp.concatenate(
             [d_s[pl.ds(_exw(rr, w), 1), pl.ds(w, 1), :].reshape(1, l1)
-             for w in range(wn)], axis=0)                # (wn, l1)
-        d = jnp.sum(jnp.where(j == jv, drows, 0).astype(jnp.int32),
+             for w in range(wn)], axis=0).astype(jnp.int32)  # (wn, l1)
+        d = jnp.sum(jnp.where(j == jv, drows, 0),
                     axis=1, keepdims=True, dtype=jnp.int32)
         code = jnp.where(iv == 0, 16, d)                 # (W, 1)
         is_left = code == 16
