@@ -178,7 +178,19 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
     Mblk = Mblk.at[tails_g.ravel(), heads_g.ravel()].max(
         ev_static.ravel().astype(jnp.int8))
     Mblk = Mblk > 0
-    gidcol = ids[:, None]
+    # BIT-PACK the blocker axis (round 5): the while body's min/max
+    # sweeps read the whole (ncap, ncap) matrix per iteration — 67 MB per
+    # 64-window batch, ~50 iterations/round — which made the sort 74% of
+    # the glue (0.49 s of the 1.9 s build, §10).  Packing blockers into
+    # uint32 words cuts the per-iteration traffic 32x; per-word min/max
+    # blocker gids come from clz of the word (and of its lowest set bit).
+    nw = -(-ncap // 32)
+    pad_b = nw * 32 - ncap
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (jnp.pad(Mblk, ((0, pad_b), (0, 0))).astype(jnp.uint32)
+            .reshape(nw, 32, ncap) << shifts[None, :, None]
+            ).sum(axis=1, dtype=jnp.uint32)       # (nw, ncap)
+    widx32 = jnp.arange(nw, dtype=jnp.int32)[:, None] * 32
 
     def cond(st):
         grp_placed, _itp, it, stuck = st
@@ -186,9 +198,17 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
 
     def body(st):
         grp_placed, it_placed, it, stuck = st
-        act = Mblk & (~grp_placed)[:, None]       # blocker b unplaced
-        bmin = jnp.min(jnp.where(act, gidcol, BIG), axis=0)
-        bmax = jnp.max(jnp.where(act, gidcol, -1), axis=0)
+        upw = (jnp.pad(~grp_placed, (0, pad_b)).astype(jnp.uint32)
+               .reshape(nw, 32) << shifts[None, :]
+               ).sum(axis=1, dtype=jnp.uint32)    # packed unplaced mask
+        act = bits & upw[:, None]                 # (nw, ncap) uint32
+        nz = act != jnp.uint32(0)
+        # highest/lowest set bit per word via clz (clz(0)=32 -> masked)
+        hb = 31 - jax.lax.clz(act.astype(jnp.int32))
+        low = act & (~act + jnp.uint32(1))        # x & -x
+        lb = 31 - jax.lax.clz(low.astype(jnp.int32))
+        bmax = jnp.max(jnp.where(nz, widx32 + hb, -1), axis=0)
+        bmin = jnp.min(jnp.where(nz, widx32 + lb, BIG), axis=0)
         unplaced = is_grp & ~grp_placed
         ready = unplaced & (bmax < 0)
         gstar = jnp.min(jnp.where(ready, ids, BIG))
@@ -197,18 +217,19 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
         chain_ok = jnp.cumprod((C | transparent).astype(jnp.int32),
                                dtype=jnp.int32) > 0
         place_g = unplaced & (ids >= gstar) & C & chain_ok
-        pn_mask = active & place_g[group_min]
-        # record only the placement ITERATION per node; the order is one
-        # stable argsort of (iteration, gid) after the loop — no O(n log n)
-        # work inside the loop
-        it_placed = jnp.where(pn_mask, it, it_placed)
-        cnt = jnp.sum(pn_mask, dtype=jnp.int32)
+        # record the placement ITERATION per GROUP; the node-level
+        # expansion (a (ncap,) gather) runs ONCE after the loop — the
+        # in-loop per-iteration gather was the body's dominant cost
+        # (the §9 lesson again: gathers inside while loops serialize)
+        it_placed = jnp.where(place_g, it, it_placed)
+        cnt = jnp.sum(place_g, dtype=jnp.int32)
         return (grp_placed | place_g, it_placed, it + 1, cnt == 0)
 
     st0 = (jnp.zeros((ncap,), bool), jnp.full((ncap,), BIG, jnp.int32),
            jnp.int32(0), jnp.bool_(False))
-    grp_placed, it_placed, _it, _stuck = jax.lax.while_loop(cond, body, st0)
+    grp_placed, it_g, _it, _stuck = jax.lax.while_loop(cond, body, st0)
     cyclic = jnp.any(is_grp & ~grp_placed)
+    it_placed = it_g[group_min]               # group -> node, one gather
     # lexicographic (iteration, gid, id): iterations and gids fit one
     # int32 key (ncap <= 3074 -> it*ncap+gid < 2^24); stable argsort
     # breaks the remaining ties by node id — exactly members-in-id-order

@@ -74,6 +74,9 @@ MAX_PREDS = 8
 # almost linearly until the tax is amortized.  Env knob for probes.
 import os as _os
 FUSE_UNROLL = int(_os.environ.get("SVSCOPE_PK_UNROLL", "8"))
+# fusion engine: "lockstep" (default, W-joint — §10's lever) or "seq"
+# (the sequential per-window baseline, kept for parity bisects)
+FUSION_ENGINE = _os.environ.get("SVSCOPE_PK_FUSION", "lockstep")
 ALPHA5 = 5
 GS_LANES = 128
 # gs lane-field offsets
@@ -292,6 +295,147 @@ def _align_tb_kernel(
         ke_ref[w, 0] = _exw(kv, w)
 
 
+def _fusion_kernel_lockstep(
+        an_ref, as_ref, ne_ref, gminr_ref, seqs_ref,
+        nn_in, tctr_in, ovf_in, gs_in,
+        nn_out, tctr_out, ovf_out, gs_out, path_ref,
+        *, n_max: int, l_max: int, out_len: int):
+    """Round kernel B, W-joint: all 8 windows of the grid step fuse their
+    alignments in LOCKSTEP — one entry per window per iteration, with
+    per-window `active` masks (the round-4 traceback treatment applied to
+    fusion).  The sequential variant's wall was the per-entry serial
+    dependency chain (~0.8 us/iteration even EMPTY — §10); lockstep runs
+    eight independent chains per iteration, so the fixed latency
+    amortizes 8x while the semantics stay the host algorithm's
+    (ops/poa.py), window by window.
+
+    an/as arrive LEFT-ALIGNED (entry j of every window at index j — the
+    glue rolls them by k_end+1) and blocked as (W, out_len/128, 128) so
+    the per-iteration entry extract is a one-vreg masked sum against a
+    VMEM-resident 128-lane block instead of a 12-vreg sweep.
+    ne_ref (W, 1): per-window entry counts."""
+    trash = gs_out.shape[1] - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GS_LANES), 1)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W, GS_LANES), 1)
+    lpath = jax.lax.broadcasted_iota(jnp.int32, (W, l_max), 1)
+    lblk = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+    pn_lane = (lane_w >= L_PN) & (lane_w < L_PN + MAX_PREDS)
+    gs_out[:] = gs_in[:]
+    ne_v = jnp.stack([ne_ref[k, 0] for k in range(W)]).reshape(W, 1)
+    ne_max = jnp.max(ne_v)
+    # the creator's target row `newid` has never been written (nn is
+    # monotonic across rounds), so its pre-write content is the known
+    # init pattern — no read-back needed
+    mrow_known_base = jnp.where(
+        pn_lane | ((lane_w >= L_GC) & (lane_w < L_GC + 8)),
+        jnp.int32(-1), jnp.int32(0))
+
+    def it_body(it, st):
+        prev, nn_c, tc, ovf, path_w = st
+        blk = it // 128
+        off = it % 128
+        an_b = an_ref[:, pl.ds(blk, 1), :].reshape(W, 128)
+        as_b = as_ref[:, pl.ds(blk, 1), :].reshape(W, 128)
+        hit = lblk == off
+        aspv = jnp.sum(jnp.where(hit, as_b, 0), axis=1, keepdims=True,
+                       dtype=jnp.int32)                    # (W, 1)
+        anv = jnp.sum(jnp.where(hit, an_b, 0), axis=1, keepdims=True,
+                      dtype=jnp.int32)
+        valid = (it < ne_v) & (aspv >= 0)    # -1 graph gap, -2 pad
+        sposc = jnp.clip(aspv, 0, l_max - 1)
+        anc = jnp.clip(anv, 0, n_max - 1)
+        c5 = jnp.stack([seqs_ref[w, _exw(sposc, w)]
+                        for w in range(W)]).reshape(W, 1)
+        gid_old = jnp.stack([gminr_ref[w, _exw(anc, w)]
+                             for w in range(W)]).reshape(W, 1)
+        has_node = valid & (anv >= 0)
+        rowsel = jnp.clip(jnp.where(has_node, gid_old, 0), 0, trash)
+        grows = jnp.concatenate(
+            [gs_out[w, pl.ds(_exw(rowsel, w), 1), :]
+             for w in range(W)], axis=0)                   # (W, GS_LANES)
+        pre_raw = jnp.sum(jnp.where(lane_w == L_GC + c5, grows, 0),
+                          axis=1, keepdims=True, dtype=jnp.int32)
+        pre = jnp.where(has_node, pre_raw, -1)
+        creator = valid & (pre < 0)
+        ovf = ovf | (creator & (nn_c >= trash)).astype(jnp.int32)
+        newid = jnp.minimum(nn_c, jnp.int32(trash))
+        cur = jnp.where(creator, newid, pre)
+        gid = jnp.where(has_node, gid_old, newid)
+        # creator row value, fully in registers (see mrow_known_base)
+        minit = ((lane_w == L_CH) | (lane_w == L_GM)
+                 | ((lane_w == L_GC + c5) & (gid == newid)))
+        mval = jnp.where(lane_w == L_CH, c5,
+                         jnp.where(lane_w == L_GM, gid, newid))
+        mrow_known = jnp.where(lane_w == L_GM, newid, mrow_known_base)
+        crow_new = jnp.where(minit, mval, mrow_known)      # (W, GS_LANES)
+        # column-join value reuses the already-read group row
+        jrow = jnp.where(lane_w == L_GC + c5, newid, grows)
+        for w in range(W):
+            creator_w = _exw(creator.astype(jnp.int32), w) > 0
+
+            @pl.when(creator_w)
+            def _(w=w):
+                gs_out[w, pl.ds(_exw(newid, w), 1), :] = crow_new[w:w + 1]
+
+            @pl.when(creator_w
+                     & (_exw(has_node.astype(jnp.int32), w) > 0))
+            def _(w=w):
+                gs_out[w, pl.ds(_exw(jnp.clip(gid, 0, trash), w), 1), :] \
+                    = jrow[w:w + 1]
+
+        nn_c = jnp.minimum(nn_c + creator.astype(jnp.int32),
+                           jnp.int32(trash))
+        # edge prev -> cur; rows read AFTER the creator writes (cur may
+        # BE the new node)
+        add_e = valid & (prev >= 0)
+        curc = jnp.clip(cur, 0, trash)
+        crows = jnp.concatenate(
+            [gs_out[w, pl.ds(_exw(curc, w), 1), :]
+             for w in range(W)], axis=0)                   # (W, GS_LANES)
+        ehit = pn_lane & (crows == prev)
+        has_e = add_e & jnp.any(ehit, axis=1, keepdims=True)
+        eslot = jnp.clip(
+            jnp.min(jnp.where(ehit, lane_w, MAX_PREDS), axis=1,
+                    keepdims=True) - L_PN, 0, MAX_PREDS - 1)
+        nvalid = jnp.sum((pn_lane & (crows >= 0)).astype(jnp.int32),
+                         axis=1, keepdims=True, dtype=jnp.int32)
+        ovf_e = add_e & (~has_e) & (nvalid >= MAX_PREDS)
+        newe = add_e & (~has_e) & (~ovf_e)
+        slot = jnp.where(has_e, eslot, jnp.clip(nvalid, 0, MAX_PREDS - 1))
+        w_old = jnp.sum(jnp.where(lane_w == L_PW + slot, crows, 0),
+                        axis=1, keepdims=True, dtype=jnp.int32)
+        em = ((lane_w == L_PN + slot) | (lane_w == L_PW + slot)
+              | ((lane_w == L_PT + slot) & newe))
+        ev = jnp.where(lane_w == L_PN + slot, prev,
+                       jnp.where(lane_w == L_PW + slot,
+                                 jnp.where(has_e, w_old + 1, 1), tc))
+        erow = jnp.where(em, ev, crows)
+        wr_e = (has_e | newe).astype(jnp.int32)
+        for w in range(W):
+            @pl.when(_exw(wr_e, w) > 0)
+            def _(w=w):
+                gs_out[w, pl.ds(_exw(curc, w), 1), :] = erow[w:w + 1]
+
+        tc = tc + newe.astype(jnp.int32)
+        ovf = ovf | ovf_e.astype(jnp.int32)
+        path_w = jnp.where(valid & (lpath == sposc), cur, path_w)
+        prev = jnp.where(valid, cur, prev)
+        return prev, nn_c, tc, ovf, path_w
+
+    nn0 = jnp.stack([nn_in[k, 0] for k in range(W)]).reshape(W, 1)
+    tc0 = jnp.stack([tctr_in[k, 0] for k in range(W)]).reshape(W, 1)
+    ov0 = jnp.stack([ovf_in[k, 0] for k in range(W)]).reshape(W, 1)
+    st0 = (jnp.full((W, 1), -1, jnp.int32), nn0, tc0, ov0,
+           jnp.full((W, l_max), -1, jnp.int32))
+    prev, nn_f, tc_f, ovf_f, path_w = jax.lax.fori_loop(
+        jnp.int32(0), ne_max, it_body, st0)
+    path_ref[:] = path_w
+    for w in range(W):
+        nn_out[w, 0] = _exw(nn_f, w)
+        tctr_out[w, 0] = _exw(tc_f, w)
+        ovf_out[w, 0] = jnp.where(_exw(ovf_f, w) > 0, 1, 0)
+
+
 def _fusion_kernel(
         an_ref, as_ref, ke_ref, gminr_ref, seqs_ref,
         nn_in, tctr_in, ovf_in, gs_in,
@@ -300,7 +444,8 @@ def _fusion_kernel(
     """Round kernel B: sequential per-window graph fusion (the host
     algorithm, ops/poa.py semantics, row-for-row with ops/poa_fused's
     vectorized XLA version).  ~3 dynamic VMEM row accesses per entry;
-    measured 1.4 us/entry in this kernel (tools/probe/fusebody_probe)."""
+    kept as the parity/bisect baseline for the lockstep kernel
+    (SVSCOPE_PK_FUSION=seq) — see _fusion_kernel_lockstep."""
     for w in range(W):
         nn_out[w, 0] = nn_in[w, 0]
         tctr_out[w, 0] = tctr_in[w, 0]
@@ -476,14 +621,68 @@ def align_tb_call(charsr, sinksr, predsr, chain, chainw, seqv, lb, nn_eff,
 def fusion_call(an, asx, ke, gminr, seqs5, nn, tctr, ovf, gs, *,
                 ncap: int, n_max: int, l_max: int,
                 interpret: bool = False):
-    """Round kernel B alone: sequential per-window graph fusion over a
-    computed alignment.  Returns (nn, tctr, ovf, gs, path)."""
+    """Round kernel B alone: W-joint lockstep graph fusion over computed
+    alignments (SVSCOPE_PK_FUSION=seq selects the sequential baseline).
+    Returns (nn, tctr, ovf, gs, path)."""
     B = an.shape[0]
     out_len = _pk_out_len(n_max, l_max)
     grid = (B // W,)
     sm = pltpu.SMEM
     vm = pltpu.VMEM
     bs = pl.BlockSpec
+    if FUSION_ENGINE != "seq":
+        # left-align each window's entries (entry j at index j) and block
+        # the alignment buffers 128-wide for the lockstep kernel's cheap
+        # per-iteration extract
+        ne = (out_len - 1 - ke[:, 0]).astype(jnp.int32).reshape(B, 1)
+        shift = (ke[:, 0] + 1).astype(jnp.int32)
+        an_l = jax.vmap(lambda a, s: jnp.roll(a, -s))(an, shift)
+        as_l = jax.vmap(lambda a, s: jnp.roll(a, -s))(asx, shift)
+        nblk = -(-out_len // 128)
+        pad = nblk * 128 - out_len
+        if pad:
+            fill = jnp.full((B, pad), -2, jnp.int32)
+            an_l = jnp.concatenate([an_l, fill], axis=1)
+            as_l = jnp.concatenate([as_l, fill], axis=1)
+        an_b = an_l.reshape(B, nblk, 128)
+        as_b = as_l.reshape(B, nblk, 128)
+        return pl.pallas_call(
+            functools.partial(_fusion_kernel_lockstep, n_max=n_max,
+                              l_max=l_max, out_len=out_len),
+            grid=grid,
+            in_specs=[
+                bs((W, nblk, 128), lambda i: (i, 0, 0),
+                   memory_space=vm),                              # an_b
+                bs((W, nblk, 128), lambda i: (i, 0, 0),
+                   memory_space=vm),                              # as_b
+                bs((W, 1), lambda i: (i, 0), memory_space=sm),    # ne
+                bs((W, n_max), lambda i: (i, 0), memory_space=sm),  # gminr
+                bs((W, l_max), lambda i: (i, 0), memory_space=sm),  # seqs5
+                bs((W, 1), lambda i: (i, 0), memory_space=sm),    # nn
+                bs((W, 1), lambda i: (i, 0), memory_space=sm),    # tctr
+                bs((W, 1), lambda i: (i, 0), memory_space=sm),    # ovf
+                bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
+                   memory_space=vm),                              # gs
+            ],
+            out_specs=[
+                bs((W, 1), lambda i: (i, 0), memory_space=sm),
+                bs((W, 1), lambda i: (i, 0), memory_space=sm),
+                bs((W, 1), lambda i: (i, 0), memory_space=sm),
+                bs((W, ncap, GS_LANES), lambda i: (i, 0, 0),
+                   memory_space=vm),
+                bs((W, l_max), lambda i: (i, 0), memory_space=vm),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, ncap, GS_LANES), jnp.int32),
+                jax.ShapeDtypeStruct((B, l_max), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(an_b, as_b, ne, gminr, seqs5, nn, tctr, ovf, gs)
     return pl.pallas_call(
         functools.partial(_fusion_kernel, n_max=n_max, l_max=l_max,
                           out_len=out_len),
