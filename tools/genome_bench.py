@@ -375,20 +375,51 @@ def main():
     ap.add_argument("--depth", type=int, default=12)
     ap.add_argument("--device-poa", default=False)
     ap.add_argument("--savedir", default=None)
+    ap.add_argument("--stream", action="store_true",
+                    help="run the pipeline in a fresh subprocess and "
+                         "report/assert its peak RSS — the synthesis's "
+                         "memory never pollutes the measurement "
+                         "(O(chunk)-ingest proof, round-5 verdict task 8)")
+    ap.add_argument("--pipeline-only", action="store_true",
+                    help="internal: skip synthesis, load classes.json "
+                         "from --savedir, run the pipeline, report RSS")
     args = ap.parse_args()
     d = args.savedir or tempfile.mkdtemp(prefix="genomebench_")
     rng = np.random.default_rng(11)
     stages = {}
 
-    t0 = time.time()
-    ref_path, tumor, normal, classes = build_genome(
-        d, args.chroms, args.mb_per_chrom, args.depth, rng)
+    import json
+    if args.pipeline_only:
+        with open(os.path.join(d, "classes.json")) as f:
+            classes = {k: [tuple(t) for t in v]
+                       for k, v in json.load(f).items()}
+        ref_path = os.path.join(d, "ref.fa")
+        tumor = os.path.join(d, "tumor.bam")
+        normal = os.path.join(d, "normal.bam")
+    else:
+        t0 = time.time()
+        ref_path, tumor, normal, classes = build_genome(
+            d, args.chroms, args.mb_per_chrom, args.depth, rng)
+        with open(os.path.join(d, "classes.json"), "w") as f:
+            json.dump(classes, f)
+        stages["synth"] = time.time() - t0
     truth = [t for c in TRUTH_CLASSES for t in classes[c]]
     decoys = [t for c in DECOY_CLASSES for t in classes[c]]
-    stages["synth"] = time.time() - t0
+    if args.stream:
+        import subprocess
+        bam_mb = (os.path.getsize(tumor) + os.path.getsize(normal)) / 1e6
+        print(f"[synth] {stages.get('synth', 0):.1f}s; BAM pair "
+              f"{bam_mb:.0f} MB on disk; launching pipeline subprocess")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+             "--savedir", d, "--chroms", str(args.chroms),
+             "--mb-per-chrom", str(args.mb_per_chrom),
+             "--depth", str(args.depth)],
+            text=True)
+        sys.exit(r.returncode)
     gb = args.chroms * args.mb_per_chrom
-    print(f"[synth] {stages['synth']:.1f}s  {args.chroms} chroms x "
-          f"{args.mb_per_chrom:.0f} Mb = {gb:.0f} Mb; {len(truth)} truth "
+    print(f"[synth] {stages.get('synth', 0.0):.1f}s  {args.chroms} chroms "
+          f"x {args.mb_per_chrom:.0f} Mb = {gb:.0f} Mb; {len(truth)} truth "
           "(" + ", ".join(f"{c} {len(classes[c])}" for c in TRUTH_CLASSES)
           + f"); {len(decoys)} decoys ("
           + ", ".join(f"{c} {len(classes[c])}" for c in DECOY_CLASSES) + ")")
@@ -478,6 +509,17 @@ def main():
               f"{n_vcf:4d}   {want}")
     print("[stage-walls] " + " ".join(f"{k}={v:.1f}s"
                                       for k, v in stages.items()))
+    if args.pipeline_only:
+        import resource
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        decoded_mb = sum(os.path.getsize(p) for p in (tumor, normal)) \
+            * 4 / 1e6          # BGZF at ~4x for 2-bit-entropy reads
+        print(f"[rss] peak {rss_mb:.0f} MB for the whole pipeline "
+              f"(~{decoded_mb:.0f} MB of decoded read data on disk)")
+        # the O(chunk)-ingest assertion: an eager reader holding every
+        # decoded sequence would exceed the decoded size by itself
+        assert rss_mb < max(2048, 0.75 * decoded_mb), \
+            f"peak RSS {rss_mb:.0f} MB breaks the O(chunk)-ingest claim"
     print(f"[dir] {d}")
 
 
