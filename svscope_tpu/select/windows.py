@@ -327,16 +327,20 @@ def _reciprocal_hits(a: pd.DataFrame, b: pd.DataFrame, frac=0.5):
 def find_candidate_sv_windows(t_table: AlignmentTable, n_table: AlignmentTable,
                               fai_path: str, repeat_bed: str, savedir: str,
                               eps: float = 500.0, min_samples: int = 3,
-                              t_bp=None, n_bp=None):
+                              t_bp=None, n_bp=None, rm_chroms=("chrM",)):
     """FindCandidateSVWindow equivalent (:458-635).
 
+    rm_chroms: chromosomes excluded from breakpoint parsing (v8 drops
+    chrM; the v7 lineage wrapper in select/legacy passes ()).
     Returns dict of output paths: somatic_bed, large_del, large_dup, inv,
     tra, lc_somatic (the files the reference returns/consumes downstream).
     """
     os.makedirs(savedir, exist_ok=True)
     offsets = chrom_offsets(fai_path)
-    tum = parse_windows(t_table, fai_path, "Tumor", mapq=5, bp_df=t_bp)
-    nor = parse_windows(n_table, fai_path, "Normal", mapq=0, bp_df=n_bp)
+    tum = parse_windows(t_table, fai_path, "Tumor", mapq=5, bp_df=t_bp,
+                        rm_chroms=rm_chroms)
+    nor = parse_windows(n_table, fai_path, "Normal", mapq=0, bp_df=n_bp,
+                        rm_chroms=rm_chroms)
 
     cand_del = _merge_bp_windows(tum["del_bp"], "DEL")
     cand_ins = _merge_bp_windows(tum["ins_bp"], "INS")
