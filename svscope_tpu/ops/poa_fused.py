@@ -196,7 +196,7 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
         grp_placed, _itp, it, stuck = st
         return jnp.any(is_grp & ~grp_placed) & ~stuck & (it < ncap)
 
-    def body(st):
+    def step(st):
         grp_placed, it_placed, it, stuck = st
         upw = (jnp.pad(~grp_placed, (0, pad_b)).astype(jnp.uint32)
                .reshape(nw, 32) << shifts[None, :]
@@ -214,9 +214,11 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
         gstar = jnp.min(jnp.where(ready, ids, BIG))
         C = unplaced & ((bmax < 0) | ((bmin >= gstar) & (bmax < ids)))
         transparent = ~unplaced | (ids < gstar)
-        chain_ok = jnp.cumprod((C | transparent).astype(jnp.int32),
-                               dtype=jnp.int32) > 0
-        place_g = unplaced & (ids >= gstar) & C & chain_ok
+        # prefix-AND as a single min-reduction: chain_ok(g) <=> no
+        # failing index <= g <=> g < first failing index (the cumprod
+        # scan this replaces lowered to ~10 sub-kernels per iteration)
+        first_fail = jnp.min(jnp.where(C | transparent, BIG, ids))
+        place_g = unplaced & (ids >= gstar) & C & (ids < first_fail)
         # record the placement ITERATION per GROUP; the node-level
         # expansion (a (ncap,) gather) runs ONCE after the loop — the
         # in-loop per-iteration gather was the body's dominant cost
@@ -225,9 +227,12 @@ def _toposort(pred_node, group_min, n_nodes, ncap: int):
         cnt = jnp.sum(place_g, dtype=jnp.int32)
         return (grp_placed | place_g, it_placed, it + 1, cnt == 0)
 
+    # (a 2-step unroll of the Kahn body was tried and reverted: 57 ->
+    # 68 ms — iterations are sweep-work-bound, not loop-overhead-bound,
+    # so the unroll only added tail waste)
     st0 = (jnp.zeros((ncap,), bool), jnp.full((ncap,), BIG, jnp.int32),
            jnp.int32(0), jnp.bool_(False))
-    grp_placed, it_g, _it, _stuck = jax.lax.while_loop(cond, body, st0)
+    grp_placed, it_g, _it, _stuck = jax.lax.while_loop(cond, step, st0)
     cyclic = jnp.any(is_grp & ~grp_placed)
     it_placed = it_g[group_min]               # group -> node, one gather
     # lexicographic (iteration, gid, id): iterations and gids fit one
