@@ -160,12 +160,18 @@ struct RowKernel<int32_t> {
     __m512i off = _mm512_mullo_epi32(idx0, _mm512_set1_epi32(-kGap));
     __m512i carry = kneg;
     const int32_t* Hp0 = prows[0];
-    // The final partial vector runs full-width into the +32-element slack
-    // past each row (allocated in align_seq_t): overrunning loads read and
-    // overrunning stores write only lanes for cells >= n, and the prefix
-    // max propagates strictly low->high lanes, so garbage there never
-    // reaches a valid cell.  A scalar tail (serial prev+gap chain) cost as
-    // much as all the vector iterations on ~400 bp candidate-window rows.
+    // The final partial vector runs full-width: rows are CONTIGUOUS
+    // (stride = L+1), so its overrunning loads/stores land in the FIRST
+    // cells of row i+1 (and, for the last row, in align_seq_t's +32
+    // buffer-end slack).  This is safe only under the invariants that
+    // rows are processed strictly in increasing order (row i+1's own run
+    // rewrites the garbage before anything reads it) and that nothing
+    // reads a successor row between runs — do not reuse this kernel on
+    // unpadded buffers or with out-of-order/threaded rows.  Within the
+    // vector itself, garbage occupies lanes for cells >= n only, and the
+    // prefix max propagates strictly low->high lanes, so it never
+    // reaches a valid cell.  A scalar tail (serial prev+gap chain) cost
+    // as much as all the vector iterations on ~400 bp rows.
     int j = 0;
     for (; j < n; j += 16) {
       __m512i d = _mm512_add_epi32(_mm512_loadu_si512(Hp0 + j - 1),
@@ -218,7 +224,8 @@ struct RowKernel<int16_t> {
         (__mmask32)(~0u << 8), (__mmask32)(~0u << 16)};
     __m512i carry = kneg;
     const int16_t* Hp0 = prows[0];
-    // full-width tail into the row slack — see the int32 kernel's note
+    // full-width tail overrunning into row i+1 / the buffer-end slack —
+    // same invariants as the int32 kernel's note above
     int j = 0;
     for (; j < n; j += 32) {
       __m512i d = _mm512_adds_epi16(_mm512_loadu_si512(Hp0 + j - 1),

@@ -26,6 +26,7 @@ masks); windows batch over a leading axis with padded reads/features.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import numpy as np
@@ -238,14 +239,27 @@ def ward_init_labels(seqdatamx: np.ndarray, kmax: int,
     return ward_cut_many([sim], kmax, n_threads=1)[0]
 
 
+_WARD_NATIVE_WARNED = False
+
+
 def ward_cut_many(sims: list[np.ndarray], kmax: int,
                   n_threads: int | None = None) -> list[np.ndarray]:
     """Batched Ward-cut labels over per-window (n, n) similarity
-    matrices: native C++ (threaded across windows) with NumPy fallback."""
+    matrices: native C++ (threaded across windows) with NumPy fallback.
+    Only build/load failures fall back (a bug in the wrapper must
+    surface, not silently cost the 10x the native path buys)."""
+    global _WARD_NATIVE_WARNED
+    import subprocess
     try:
         from ..native.hcluster import ward_cut_batch as _wcb
         return _wcb(sims, kmax, n_threads=n_threads)
-    except Exception:                       # no g++ / load failure
+    except (ImportError, OSError, RuntimeError,
+            subprocess.CalledProcessError) as exc:
+        if not _WARD_NATIVE_WARNED:
+            _WARD_NATIVE_WARNED = True
+            logging.getLogger("svscope_tpu.mixture").warning(
+                "native ward_cut_batch unavailable (%s); NumPy fallback "
+                "(~10x slower EM init)", exc)
         return [_ward_init_labels_py(None, kmax, sim=s) for s in sims]
 
 

@@ -315,7 +315,6 @@ def _fusion_kernel_lockstep(
     VMEM-resident 128-lane block instead of a 12-vreg sweep.
     ne_ref (W, 1): per-window entry counts."""
     trash = gs_out.shape[1] - 1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GS_LANES), 1)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (W, GS_LANES), 1)
     lpath = jax.lax.broadcasted_iota(jnp.int32, (W, l_max), 1)
     lblk = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)

@@ -38,14 +38,22 @@ def test_pinned_workload_cpu_throughput():
         best = min(best, time.time() - t0)
     n_som = sum(1 for r in records if str(r[9]).endswith("EMOutput"))
     assert n_som >= 51, f"only {n_som}/64 somatic calls"
+    # two-tier wall guard: the LOOSE order-of-magnitude bound always
+    # asserts (an accidentally serialized batch path is caught anywhere;
+    # no plausible CI oversubscription eats 10x), while the tight
+    # envelope only asserts on hosts that opt in via SVSCOPE_PERF_ASSERT=1
+    # (round-4 advisor: shared CI hosts can blow a 2.5x margin with no
+    # engine regression).
+    loose = ENVELOPE_64_S * 10
+    assert best <= loose, (
+        f"pinned 64-window workload took {best:.1f}s on the CPU backend "
+        f"(>10x the {ENVELOPE_64_S}s envelope) — an order-of-magnitude "
+        "engine regression; see bench.py stages split to localize")
     limit = ENVELOPE_64_S * GUARD_FACTOR
     if os.environ.get("SVSCOPE_PERF_ASSERT") != "1":
-        # correctness always asserted above; the wall-clock envelope only
-        # on hosts that opt in (an oversubscribed shared CI host can blow
-        # it with no engine regression — round-4 advisor finding)
         print(f"[test_perf] 64 windows in {best:.2f}s "
-              f"(envelope {limit:.0f}s; timing assert off — "
-              "set SVSCOPE_PERF_ASSERT=1)")
+              f"(tight envelope {limit:.0f}s asserts with "
+              "SVSCOPE_PERF_ASSERT=1)")
         return
     assert best <= limit, (
         f"pinned 64-window workload took {best:.1f}s on the CPU backend "
