@@ -10,12 +10,15 @@
 // C ABI (ctypes): all buffers caller-allocated int32/uint8.
 #include <algorithm>
 #include <atomic>
-#include <thread>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <queue>
 #include <string>
+#include <thread>
 #include <vector>
 
 #ifdef __AVX512F__
@@ -86,11 +89,13 @@ struct Graph {
       g_off.push_back((int)members_flat.size());
       size_t first = members_flat.size();
       members_flat.push_back(v);
-      for (int a : aligned[v]) members_flat.push_back(a);
-      std::sort(members_flat.begin() + first, members_flat.end());
-      members_flat.erase(std::unique(members_flat.begin() + first,
-                                     members_flat.end()),
-                         members_flat.end());
+      if (!aligned[v].empty()) {   // singleton groups skip the sort path
+        for (int a : aligned[v]) members_flat.push_back(a);
+        std::sort(members_flat.begin() + first, members_flat.end());
+        members_flat.erase(std::unique(members_flat.begin() + first,
+                                       members_flat.end()),
+                           members_flat.end());
+      }
       for (size_t k = first; k < members_flat.size(); k++)
         group[members_flat[k]] = gid;
     }
@@ -113,18 +118,30 @@ struct Graph {
       }
       gout_off[g + 1] = (int)gout_flat.size();
     }
-    std::priority_queue<int, std::vector<int>, std::greater<int>> ready;
+    // min-id Kahn via a bitset scan (identical pop order to a min-heap,
+    // no per-call allocation): lo tracks the lowest word that can hold a
+    // ready bit; pushing a smaller id rewinds it
+    thread_local std::vector<uint64_t> readyw;
+    const int nwords = (ng + 63) >> 6;
+    readyw.assign(nwords, 0);
+    int lo = nwords;
+    auto push_ready = [&](int g) {
+      readyw[g >> 6] |= 1ull << (g & 63);
+      if ((g >> 6) < lo) lo = g >> 6;
+    };
     for (int g = 0; g < ng; g++)
-      if (indeg[g] == 0) ready.push(g);
+      if (indeg[g] == 0) push_ready(g);
     rank.clear();
     rank.reserve(n);
-    while (!ready.empty()) {
-      int g = ready.top();
-      ready.pop();
+    while (true) {
+      while (lo < nwords && readyw[lo] == 0) lo++;
+      if (lo >= nwords) break;
+      const int g = (lo << 6) + __builtin_ctzll(readyw[lo]);
+      readyw[lo] &= readyw[lo] - 1;
       for (int k = g_off[g]; k < g_off[g + 1]; k++)
         rank.push_back(members_flat[k]);
       for (int k = gout_off[g]; k < gout_off[g + 1]; k++)
-        if (--indeg[gout_flat[k]] == 0) ready.push(gout_flat[k]);
+        if (--indeg[gout_flat[k]] == 0) push_ready(gout_flat[k]);
     }
     order_dirty = false;
     return rank;
@@ -275,11 +292,30 @@ struct RowKernel {
 };
 #endif
 
+// SVSCOPE_POA_PROF sub-phase counters for align_seq_t (ns, thread-summed)
+std::atomic<int64_t> g_ns_setup(0), g_ns_dp(0), g_ns_tb(0);
+std::atomic<int64_t> g_cells(0), g_rows(0), g_preds(0);
+inline bool poa_prof_on() {
+  static const bool on = std::getenv("SVSCOPE_POA_PROF") != nullptr;
+  return on;
+}
+
 // NW graph-vs-seq alignment, identical to PoaGraph.align.
 // Returns pairs (node_id or -1, seq_pos or -1) in order.
 template <typename ST>
 void align_seq_t(Graph& g, const char* seq, int L,
                  std::vector<std::pair<int, int>>& aln) {
+  const bool prof = poa_prof_on();
+  std::chrono::steady_clock::time_point tp0;
+  if (prof) tp0 = std::chrono::steady_clock::now();
+  auto lap = [&](std::atomic<int64_t>& acc) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    acc.fetch_add(std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      now - tp0).count(),
+                  std::memory_order_relaxed);
+    tp0 = now;
+  };
   const std::vector<int>& order = g.topo_order();
   int N = (int)order.size();
   thread_local std::vector<int> pos_of;
@@ -333,7 +369,14 @@ void align_seq_t(Graph& g, const char* seq, int L,
       prows[k] = Hb + (size_t)preds[k] * stride;
       base0 = std::max(base0, (int32_t)prows[k][0] + kGap);
     }
+    if (i == 1) lap(g_ns_setup);
     RowKernel<ST>::run(Hi, prows, npred, S, n, (ST)base0);
+  }
+  lap(g_ns_dp);
+  if (prof) {
+    g_cells.fetch_add((int64_t)N * (L + 1), std::memory_order_relaxed);
+    g_rows.fetch_add(N, std::memory_order_relaxed);
+    g_preds.fetch_add(pred_flat.size(), std::memory_order_relaxed);
   }
   // best sink at column L
   int best_i = -1;
@@ -388,12 +431,23 @@ void align_seq_t(Graph& g, const char* seq, int L,
     j--;
   }
   aln.assign(rev.rbegin(), rev.rend());
+  lap(g_ns_tb);
 }
+
+std::atomic<int64_t> g_ns_topo(0);
 
 void align_seq(Graph& g, const char* seq, int L,
                std::vector<std::pair<int, int>>& aln) {
   aln.clear();
+  std::chrono::steady_clock::time_point tp0;
+  const bool prof = poa_prof_on();
+  if (prof) tp0 = std::chrono::steady_clock::now();
   const std::vector<int>& order = g.topo_order();
+  if (prof)
+    g_ns_topo.fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(
+            std::chrono::steady_clock::now() - tp0).count(),
+        std::memory_order_relaxed);
   int N = (int)order.size();
   if (N == 0) {
     for (int j = 0; j < L; j++) aln.emplace_back(-1, j);
@@ -637,6 +691,17 @@ int poa_msa_batch(const char* seqs, const int64_t* seq_off, int64_t n_seqs,
                   uint8_t* out, int64_t cap_per_win, int64_t* out_len,
                   int32_t n_threads) {
   std::vector<int> status((size_t)n_windows, 0);
+  // SVSCOPE_POA_PROF=1: phase split (ns, summed over worker threads) so
+  // Python-side probes can attribute batch wall to DP vs graph bookkeeping
+  const bool prof = std::getenv("SVSCOPE_POA_PROF") != nullptr;
+  std::atomic<int64_t> ns_align(0), ns_fuse(0), ns_cons(0), ns_extract(0);
+  using clk = std::chrono::steady_clock;
+  auto tick = [&]() { return clk::now(); };
+  auto lap = [&](std::atomic<int64_t>& acc, clk::time_point t0) {
+    acc.fetch_add(std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      clk::now() - t0).count(),
+                  std::memory_order_relaxed);
+  };
   auto work = [&](int64_t w) {
     Graph g;
     for (int64_t s = win_off[w]; s < win_off[w + 1]; s++) {
@@ -649,11 +714,23 @@ int poa_msa_batch(const char* seqs, const int64_t* seq_off, int64_t n_seqs,
         add_first(g, seq, len);
       } else {
         std::vector<std::pair<int, int>> aln;
-        align_seq(g, seq, len, aln);
-        fuse(g, aln, seq);
+        if (prof) {
+          auto t0 = tick();
+          align_seq(g, seq, len, aln);
+          lap(ns_align, t0);
+          t0 = tick();
+          fuse(g, aln, seq);
+          lap(ns_fuse, t0);
+        } else {
+          align_seq(g, seq, len, aln);
+          fuse(g, aln, seq);
+        }
       }
     }
+    auto tc = tick();
     std::string cons = consensus(g);
+    if (prof) lap(ns_cons, tc);
+    auto te = tick();
     const std::vector<int>& order = g.topo_order();
     std::vector<int> col(g.n_nodes(), -1);
     int ncol = 0;
@@ -681,6 +758,7 @@ int poa_msa_batch(const char* seqs, const int64_t* seq_off, int64_t n_seqs,
       dst[pos++] = '\n';
     }
     out_len[w] = pos;
+    if (prof) lap(ns_extract, te);
   };
   if (n_threads <= 1 || n_windows <= 1) {
     for (int64_t w = 0; w < n_windows; w++) work(w);
@@ -694,6 +772,26 @@ int poa_msa_batch(const char* seqs, const int64_t* seq_off, int64_t n_seqs,
           work(w);
       });
     for (auto& th : pool) th.join();
+  }
+  if (prof) {
+    std::fprintf(stderr,
+                 "[poa_prof] windows=%lld align=%.1fms fuse=%.1fms "
+                 "consensus=%.1fms extract=%.1fms (thread-summed)\n",
+                 (long long)n_windows, ns_align.load() / 1e6,
+                 ns_fuse.load() / 1e6, ns_cons.load() / 1e6,
+                 ns_extract.load() / 1e6);
+    std::fprintf(stderr,
+                 "[poa_prof]   align split: topo=%.1fms setup=%.1fms "
+                 "dp=%.1fms traceback=%.1fms (cumulative since load)\n",
+                 g_ns_topo.load() / 1e6, g_ns_setup.load() / 1e6,
+                 g_ns_dp.load() / 1e6, g_ns_tb.load() / 1e6);
+    std::fprintf(stderr,
+                 "[poa_prof]   dp volume: cells=%.1fM rows=%lld "
+                 "preds/row=%.2f -> %.2f Gcells/s in-dp (cumulative)\n",
+                 g_cells.load() / 1e6, (long long)g_rows.load(),
+                 g_rows.load() ? (double)g_preds.load() / g_rows.load() : 0.0,
+                 g_ns_dp.load() ? (double)g_cells.load() / g_ns_dp.load()
+                                : 0.0);
   }
   for (int64_t w = 0; w < n_windows; w++)
     if (status[w]) return (int)(w + 1);
