@@ -27,12 +27,46 @@
 
 namespace {
 
+// Small-vector adjacency: two entries inline, spill beyond.  POA graphs
+// average ~1.1 out-edges and ~0 aligned entries per node, so per-node
+// std::vector headers put every topo rebuild / pred-list build behind a
+// scattered heap pointer chase (measured 26% of align wall, PERF.md §12);
+// inline storage keeps the hot sweeps on sequential cache lines.
+struct Adj {
+  int32_t n = 0;
+  int32_t inl[2];
+  std::vector<int32_t> spill;
+  int size() const { return n; }
+  bool empty() const { return n == 0; }
+  int32_t operator[](int k) const { return k < 2 ? inl[k] : spill[k - 2]; }
+  int32_t& operator[](int k) { return k < 2 ? inl[k] : spill[k - 2]; }
+  void push_back(int32_t v) {
+    if (n < 2)
+      inl[n] = v;
+    else
+      spill.push_back(v);
+    n++;
+  }
+  struct It {
+    const Adj* a;
+    int k;
+    int32_t operator*() const { return (*a)[k]; }
+    It& operator++() {
+      k++;
+      return *this;
+    }
+    bool operator!=(const It& o) const { return k != o.k; }
+  };
+  It begin() const { return {this, 0}; }
+  It end() const { return {this, n}; }
+};
+
 struct Graph {
   std::vector<char> chars;
-  std::vector<std::vector<int>> in_edges;   // tails, insertion order
-  std::vector<std::vector<int>> out_edges;  // heads, insertion order
-  std::vector<std::vector<int>> out_w;      // weights parallel to out_edges
-  std::vector<std::vector<int>> aligned;    // same-column nodes
+  std::vector<Adj> in_edges;   // tails, insertion order
+  std::vector<Adj> out_edges;  // heads, insertion order
+  std::vector<Adj> out_w;      // weights parallel to out_edges
+  std::vector<Adj> aligned;    // same-column nodes
   std::vector<int> seq_begin;
   std::vector<std::vector<int>> paths;      // per-sequence node path
   std::vector<int> rank;
@@ -50,7 +84,7 @@ struct Graph {
 
   void add_edge(int tail, int head) {
     auto& heads = out_edges[tail];
-    for (size_t k = 0; k < heads.size(); k++) {
+    for (int k = 0; k < heads.size(); k++) {
       if (heads[k] == head) {
         out_w[tail][k]++;
         return;
@@ -64,7 +98,7 @@ struct Graph {
 
   int edge_weight(int tail, int head) const {
     const auto& heads = out_edges[tail];
-    for (size_t k = 0; k < heads.size(); k++)
+    for (int k = 0; k < heads.size(); k++)
       if (heads[k] == head) return out_w[tail][k];
     return 0;
   }
