@@ -72,14 +72,45 @@ struct Graph {
   std::vector<int> rank;
   bool order_dirty = true;
 
+  // Incrementally maintained aligned-group structure.  Group ids equal
+  // the from-scratch discovery order (ranks of min-member node ids):
+  // node ids only grow, a new node either JOINS an existing column
+  // (group min unchanged — every gid stable) or opens a new group whose
+  // min id exceeds all others (gid appended at the end), and existing
+  // groups never merge.  Maintaining {membership, distinct cross-group
+  // edges, group indegrees} at mutation time leaves topo_order() with
+  // only the Kahn scan — the rebuild's discovery + edge sweeps were
+  // 2/3 of a per-read cost measured at 26% of align (PERF.md §12).
+  std::vector<int32_t> group;   // node -> group id
+  std::vector<Adj> gmembers;    // group -> member ids, ascending
+  std::vector<Adj> gout;        // group -> distinct successor groups
+  std::vector<int32_t> gindeg;  // distinct-predecessor-group counts
+
   int add_node(char c) {
     chars.push_back(c);
     in_edges.emplace_back();
     out_edges.emplace_back();
     out_w.emplace_back();
     aligned.emplace_back();
+    int id = (int)chars.size() - 1;
+    group.push_back((int32_t)gmembers.size());
+    gmembers.emplace_back();
+    gmembers.back().push_back(id);
+    gout.emplace_back();
+    gindeg.push_back(0);
     order_dirty = true;
-    return (int)chars.size() - 1;
+    return id;
+  }
+
+  // move a just-created node (always the newest — its singleton group is
+  // the last) into the aligned column of col_node
+  void join_group(int node, int col_node) {
+    gmembers.pop_back();
+    gout.pop_back();
+    gindeg.pop_back();
+    int32_t gid = group[col_node];
+    group[node] = gid;
+    gmembers[gid].push_back(node);  // node id > all members: stays sorted
   }
 
   void add_edge(int tail, int head) {
@@ -93,6 +124,19 @@ struct Graph {
     heads.push_back(head);
     out_w[tail].push_back(1);
     in_edges[head].push_back(tail);
+    int32_t gt = group[tail], gh = group[head];
+    if (gt != gh) {
+      bool seen = false;
+      for (int32_t s : gout[gt])
+        if (s == gh) {
+          seen = true;
+          break;
+        }
+      if (!seen) {
+        gout[gt].push_back(gh);
+        gindeg[gh]++;
+      }
+    }
     order_dirty = true;
   }
 
@@ -111,51 +155,15 @@ struct Graph {
   // flat member lists + stamp-based cross-group edge dedupe.
   const std::vector<int>& topo_order() {
     if (!order_dirty) return rank;
-    int n = n_nodes();
-    thread_local std::vector<int> group, members_flat, g_off, indeg, stamp,
-        gout_flat, gout_off;
-    group.assign(n, -1);
-    members_flat.clear();
-    g_off.clear();
-    for (int v = 0; v < n; v++) {
-      if (group[v] >= 0) continue;
-      int gid = (int)g_off.size();
-      g_off.push_back((int)members_flat.size());
-      size_t first = members_flat.size();
-      members_flat.push_back(v);
-      if (!aligned[v].empty()) {   // singleton groups skip the sort path
-        for (int a : aligned[v]) members_flat.push_back(a);
-        std::sort(members_flat.begin() + first, members_flat.end());
-        members_flat.erase(std::unique(members_flat.begin() + first,
-                                       members_flat.end()),
-                           members_flat.end());
-      }
-      for (size_t k = first; k < members_flat.size(); k++)
-        group[members_flat[k]] = gid;
-    }
-    int ng = (int)g_off.size();
-    g_off.push_back((int)members_flat.size());
-    indeg.assign(ng, 0);
-    stamp.assign(ng, -1);
-    gout_flat.clear();
-    gout_off.assign(ng + 1, 0);
-    for (int g = 0; g < ng; g++) {
-      for (int k = g_off[g]; k < g_off[g + 1]; k++) {
-        for (int h : out_edges[members_flat[k]]) {
-          int gh = group[h];
-          if (gh != g && stamp[gh] != g) {
-            stamp[gh] = g;
-            gout_flat.push_back(gh);
-            indeg[gh]++;
-          }
-        }
-      }
-      gout_off[g + 1] = (int)gout_flat.size();
-    }
-    // min-id Kahn via a bitset scan (identical pop order to a min-heap,
-    // no per-call allocation): lo tracks the lowest word that can hold a
-    // ready bit; pushing a smaller id rewinds it
+    const int ng = (int)gmembers.size();
+    // min-id Kahn via a bitset scan over the incrementally maintained
+    // group graph (identical pop order to a min-heap over group ids —
+    // and gids equal the from-scratch discovery order, see above): lo
+    // tracks the lowest word that can hold a ready bit; pushing a
+    // smaller id rewinds it
+    thread_local std::vector<int32_t> indeg;
     thread_local std::vector<uint64_t> readyw;
+    indeg.assign(gindeg.begin(), gindeg.end());
     const int nwords = (ng + 63) >> 6;
     readyw.assign(nwords, 0);
     int lo = nwords;
@@ -166,16 +174,15 @@ struct Graph {
     for (int g = 0; g < ng; g++)
       if (indeg[g] == 0) push_ready(g);
     rank.clear();
-    rank.reserve(n);
+    rank.reserve(n_nodes());
     while (true) {
       while (lo < nwords && readyw[lo] == 0) lo++;
       if (lo >= nwords) break;
       const int g = (lo << 6) + __builtin_ctzll(readyw[lo]);
       readyw[lo] &= readyw[lo] - 1;
-      for (int k = g_off[g]; k < g_off[g + 1]; k++)
-        rank.push_back(members_flat[k]);
-      for (int k = gout_off[g]; k < gout_off[g + 1]; k++)
-        if (--indeg[gout_flat[k]] == 0) push_ready(gout_flat[k]);
+      for (int32_t v : gmembers[g]) rank.push_back(v);
+      for (int32_t s : gout[g])
+        if (--indeg[s] == 0) push_ready(s);
     }
     order_dirty = false;
     return rank;
@@ -524,6 +531,7 @@ void fuse(Graph& g, const std::vector<std::pair<int, int>>& aln,
           for (int a : g.aligned[node_id]) col.push_back(a);
           for (int a : col) g.aligned[a].push_back(cur);
           for (int a : col) g.aligned[cur].push_back(a);
+          g.join_group(cur, node_id);
         }
       }
     } else {
