@@ -271,15 +271,11 @@ struct RowKernel<int16_t> {
     alignas(64) int16_t idx_buf[32];
     for (int k = 0; k < 32; k++) idx_buf[k] = (int16_t)(k * -kGap);
     __m512i off = _mm512_load_si512(idx_buf);
-    // lane-shift index vectors for the prefix max (idx[i] = i - s)
-    __m512i shift_idx[5];
-    for (int s = 0, bit = 1; s < 5; s++, bit <<= 1) {
-      for (int k = 0; k < 32; k++) idx_buf[k] = (int16_t)((k - bit) & 31);
-      shift_idx[s] = _mm512_load_si512(idx_buf);
-    }
-    const __mmask32 shift_mask[5] = {
-        (__mmask32)(~0u << 1), (__mmask32)(~0u << 2), (__mmask32)(~0u << 4),
-        (__mmask32)(~0u << 8), (__mmask32)(~0u << 16)};
+    // one-lane shift index for the first prefix-max step (idx[i] = i - 1);
+    // the remaining steps are dword-aligned and use 1-cycle valignd
+    for (int k = 0; k < 32; k++) idx_buf[k] = (int16_t)((k - 1) & 31);
+    const __m512i shift1_idx = _mm512_load_si512(idx_buf);
+    const __mmask32 shift1_mask = (__mmask32)(~0u << 1);
     __m512i carry = kneg;
     const int16_t* Hp0 = prows[0];
     // full-width tail overrunning into row i+1 / the buffer-end slack —
@@ -300,11 +296,12 @@ struct RowKernel<int16_t> {
       if (j == 0)
         b = _mm512_mask_mov_epi16(b, 1, _mm512_set1_epi16(base0));
       __m512i c = _mm512_adds_epi16(b, off);
-      for (int s = 0; s < 5; s++) {
-        __m512i sh = _mm512_mask_permutexvar_epi16(kneg, shift_mask[s],
-                                                   shift_idx[s], c);
-        c = _mm512_max_epi16(c, sh);
-      }
+      c = _mm512_max_epi16(c, _mm512_mask_permutexvar_epi16(
+                                  kneg, shift1_mask, shift1_idx, c));
+      c = _mm512_max_epi16(c, _mm512_alignr_epi32(c, kneg, 15));  // 2 lanes
+      c = _mm512_max_epi16(c, _mm512_alignr_epi32(c, kneg, 14));  // 4
+      c = _mm512_max_epi16(c, _mm512_alignr_epi32(c, kneg, 12));  // 8
+      c = _mm512_max_epi16(c, _mm512_alignr_epi32(c, kneg, 8));   // 16
       c = _mm512_max_epi16(c, carry);
       carry = _mm512_permutexvar_epi16(lastlane, c);
       _mm512_storeu_si512(Hi + j, _mm512_subs_epi16(c, off));
