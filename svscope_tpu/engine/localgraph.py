@@ -143,9 +143,15 @@ def raw_bed_name(t_ids: list[str], n_ids: list[str]) -> str:
     return "%s.vs.%s.TandemRepeat.Raw.bed" % ("-".join(t_ids), "-".join(n_ids))
 
 
-def _passes_gates(win: WindowData, t_label: str = "tumor") -> bool:
+def _read_tags(read_ids) -> np.ndarray:
+    """Sample tag per read ("tumor"/"normal"), split once per chunk — the
+    per-id string splits showed up twice (gates + emit) in the profile."""
+    return np.array([x.split("|")[0].split("_")[-1] for x in read_ids])
+
+
+def _passes_gates(win: WindowData, tags: np.ndarray,
+                  t_label: str = "tumor") -> bool:
     """Decision's entry gates (src/DecisionMaker.py:126-134)."""
-    tags = np.array([x.split("|")[0].split("_")[-1] for x in win.read_ids])
     if tags.size == 0:
         return False
     uniq, cnt = np.unique(tags, return_counts=True)
@@ -159,10 +165,9 @@ def _emit_chunk(ready, em_results, t_label, readcutoff, device_poa,
     jobs = []        # consensus sequence lists across all windows
     job_ref = []     # (window index, 'som'|'germ', position)
     parsed = []
-    for wi, ((win, enc, read_ids, feat), em) in enumerate(
+    for wi, ((win, enc, read_ids, feat, tags), em) in enumerate(
             zip(ready, em_results)):
         K, _, labels, theta, gamma, pi, bics = em
-        tags = np.array([x.split("|")[0].split("_")[-1] for x in read_ids])
         som_idx, germ_idx = [], []
         for L in np.unique(labels):
             members = np.flatnonzero(labels == L)
@@ -220,8 +225,11 @@ def _stage_a(wins: list[WindowData], t_label: str, hcutoff: int,
     entries = []     # [win, state]; state None=base | ready-index
     msa_jobs = []
     pending = []
+    tags_of = {}
     for win in wins:
-        if _passes_gates(win, t_label):
+        tags = _read_tags(win.read_ids)
+        if _passes_gates(win, tags, t_label):
+            tags_of[len(entries)] = tags
             pending.append(len(entries))
             msa_jobs.append(win.sequences)
         entries.append([win, None])
@@ -238,14 +246,14 @@ def _stage_a(wins: list[WindowData], t_label: str, hcutoff: int,
         feat = td_raw[:, find_non_same_site(td_raw, cutoff)]
         if feat.shape[0] != 0 and feat.shape[1] >= 10:
             entries[ei][1] = len(ready)
-            ready.append((win, enc, win.read_ids, feat))
+            ready.append((win, enc, win.read_ids, feat, tags_of[ei]))
     return entries, ready
 
 
 def _dispatch_em(ready, em_dtype):
     """Phase B dispatch: host prep + async device EM for one chunk.
     Returns a fetch() closure (no device_get yet)."""
-    feats = [feat for (_, _, _, feat) in ready]
+    feats = [feat for (_, _, _, feat, _) in ready]
     kwargs = {} if em_dtype is None else {"dtype": em_dtype}
     return em_cluster_batch_dispatch(feats, labels_only=True, **kwargs) \
         if feats else (lambda: [])

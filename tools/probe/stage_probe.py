@@ -26,7 +26,7 @@ def stage_a_split(wins):
     t0 = time.time()
     msa_jobs, pending, entries = [], [], []
     for win in wins:
-        if lg._passes_gates(win, "tumor"):
+        if lg._passes_gates(win, lg._read_tags(win.read_ids), "tumor"):
             pending.append(len(entries))
             msa_jobs.append(win.sequences)
         entries.append([win, None])
