@@ -104,3 +104,54 @@ def test_native_pack_shape_consistency():
         valid = preds >= 0
         assert (preds[valid] < np.broadcast_to(r, preds.shape)[valid]).all()
         assert sinks[:n].any() or n == 0
+
+
+def test_incremental_topo_order_per_step():
+    """The C++ engine maintains aligned groups incrementally (gids claimed
+    equal to from-scratch discovery order — native/poa_engine.cpp Graph);
+    this pins the invariant directly: after EVERY sequence add, the
+    native rank (poa_pack node_of_rank) equals the NumPy oracle's
+    from-scratch topo_order, node id by node id."""
+    import numpy as np
+    from svscope_tpu.ops.poa import PoaGraph, _fused_path
+    from svscope_tpu.native.poa import NativePoaGraph
+
+    rng = np.random.default_rng(4242)
+    for trial in range(12):
+        L = int(rng.integers(8, 60))
+        unit = "".join(rng.choice(list("ACGT"), max(2, L // 7)))
+        ref = ((unit * 40)[:L] if trial % 3 == 0
+               else "".join(rng.choice(list("ACGT"), L)))
+        gp, gn = PoaGraph(), NativePoaGraph()
+        first = True
+        for r in range(6):
+            b = list(ref)
+            for _ in range(int(rng.integers(0, max(2, L // 5)))):
+                p = int(rng.integers(0, len(b)))
+                op = rng.random()
+                if op < 0.4:
+                    b[p] = str(rng.choice(list("ACGT")))
+                elif op < 0.7 and len(b) > 2:
+                    del b[p]
+                else:
+                    b.insert(p, str(rng.choice(list("ACGT"))))
+            seq = "".join(b)
+            if first:
+                prev = -1
+                for ch in seq:
+                    cur = gp._add_node(ch)
+                    if prev >= 0:
+                        gp._add_edge(prev, cur)
+                    prev = cur
+                gp.seq_begin.append(0)
+                first = False
+            else:
+                _fused_path(gp, gp.align(seq), seq)
+            gn.add_sequence(seq)
+            packed = gn.pack(gp.n_nodes() + 8)
+            assert packed is not None
+            chars, preds, sinks, n, node_of_rank = packed
+            oracle_order = gp.topo_order()
+            assert int(n) == gp.n_nodes()
+            assert list(node_of_rank[:n]) == oracle_order, \
+                f"trial {trial} read {r}: incremental rank != oracle"
