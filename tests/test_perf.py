@@ -19,8 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # committed envelope: seconds for 64 windows, CPU backend, this host class
-# (measured 2026-08-21: ~4.4 s warm; 3 cores).  Guard trips at 2.5x.
-ENVELOPE_64_S = 6.0
+# (re-measured 2026-08-21 after the PERF.md §12 engine rework: 0.92 s
+# warm on 2 cores — was ~4.4 s; envelope keeps ~2.7x slower-host slack).
+# Guard trips at 2.5x.
+ENVELOPE_64_S = 2.5
 GUARD_FACTOR = 2.5
 
 
