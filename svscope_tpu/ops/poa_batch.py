@@ -29,6 +29,7 @@ from ..native.poa import NativePoaGraph, poa_native
 from . import poa_device as pdev
 
 log = logging.getLogger("svscope_tpu.poa_batch")
+_ORACLE_WARNED = False
 
 N_LADDER = (128, 256, 512, 1024, 2048)
 L_LADDER = (64, 128, 256, 512, 1024, 2048)
@@ -86,7 +87,18 @@ def poa_msa_batch(seq_lists: list[list[str]], use_device=False,
         small_idx = [i for i in range(len(seq_lists)) if i not in big]
         out: list = [None] * len(seq_lists)
         small = [seq_lists[i] for i in small_idx]
-        if len(small) > 1:
+        from ..native.poa import native_available
+        if not native_available():
+            # wheel install on an ISA-gated host with no toolchain: the
+            # NumPy oracle is output-identical, just slower (one warning)
+            global _ORACLE_WARNED
+            if not _ORACLE_WARNED:
+                log.warning("native POA engine unavailable on this host; "
+                            "falling back to the NumPy oracle")
+                _ORACLE_WARNED = True
+            from .poa import poa as _poa_oracle
+            res = [_poa_oracle(s, 1) for s in small]
+        elif len(small) > 1:
             from ..native.poa import poa_msa_batch_native
             res = poa_msa_batch_native(small, threads=threads or HOST_THREADS)
         else:

@@ -91,3 +91,17 @@ def test_nonoverlapping_divergent():
     for s, row in zip(["AAAA", "GGGG", "AAAA"], msa):
         assert row.replace("-", "") == s
     assert c == "AAAA"
+
+
+def test_oracle_fallback_when_native_unavailable(monkeypatch):
+    """poa_msa_batch degrades to the NumPy oracle (output-identical) when
+    the native engine cannot load — wheel install on an ISA-gated host
+    (svscope_tpu/native/poa.py::native_available)."""
+    import svscope_tpu.native.poa as npoa
+    import svscope_tpu.ops.poa_batch as pb
+    from svscope_tpu.ops.poa import poa
+
+    monkeypatch.setattr(npoa, "_available", False)
+    seqs = ["ACGTACGTAC", "ACGTTACGTAC", "ACGTACGTAC"]
+    out = pb.poa_msa_batch([seqs], use_device=False)
+    assert out[0] == poa(seqs, 1)
